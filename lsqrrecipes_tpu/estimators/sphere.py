@@ -1,0 +1,129 @@
+"""Hypersphere estimator, params ``[c(dim), r]``.
+
+Parity target: ``parametersEstimators/SphereParametersEstimator.{h,hxx}``.
+Two least-squares modes, as in the reference
+(``SphereParametersEstimator.hxx:14-22``):
+
+  * ``ALGEBRAIC`` — linear system on ``[-2p, 1] [c; c^2 - r^2] = -p^2``
+    solved by SVD pseudo-inverse (``SphereParametersEstimator.hxx:267-307``).
+  * ``GEOMETRIC`` — algebraic init, then Levenberg-Marquardt on the exact
+    point-to-sphere distance ``f_i = ||p_i - c|| - r`` with the analytic
+    Jacobian (``SphereParametersEstimator.hxx:310-338,392-431``).
+"""
+
+import jax.numpy as jnp
+
+from lsqrrecipes_tpu.config import EPS, SPHERE_EPS
+from lsqrrecipes_tpu.estimators.base import Estimator, register
+from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt, masked_pinv_solve, pinv_solve
+
+ALGEBRAIC = "algebraic"
+GEOMETRIC = "geometric"
+
+
+def _sphere_residual(x, points):
+    """``f_i = ||p_i - c|| - r`` (``SphereParametersEstimator.hxx:394-409``)."""
+    c, r = x[:-1], x[-1]
+    return jnp.linalg.norm(points - c, axis=-1) - r
+
+
+def _sphere_jacobian(x, points):
+    """``d f_i / d c_j = (c_j - p_ij)/||p_i - c||``, ``d f_i / d r = -1``
+    (``SphereParametersEstimator.hxx:413-431``)."""
+    c = x[:-1]
+    diff = c - points
+    dist = jnp.linalg.norm(diff, axis=-1, keepdims=True)
+    dist = jnp.maximum(dist, jnp.finfo(x.dtype).tiny)
+    return jnp.concatenate([diff / dist, -jnp.ones_like(dist)], axis=-1)
+
+
+@register("sphere")
+class SphereEstimator(Estimator):
+    def __init__(self, delta: float, dim: int = 3, ls_type: str = GEOMETRIC,
+                 lm_config: LMConfig = LMConfig(max_iters=500)):
+        if ls_type not in (ALGEBRAIC, GEOMETRIC):
+            raise ValueError(f"unknown least-squares type {ls_type!r}")
+        self.delta = float(delta)
+        self.dim = int(dim)
+        self.k = self.dim + 1
+        self.nparams = self.dim + 1
+        self.ls_type = ls_type
+        self.lm_config = lm_config
+
+    # ------------------------------------------------------------- exact fit
+    def minimal_fit(self, samples):
+        """dim+1 points -> circumsphere via the equal-radius linear system.
+
+        The reference hand-codes Cramer inverses for 2D/3D
+        (``SphereParametersEstimator.hxx:80-163``) with a ``|det| <
+        SPHERE_EPS`` coplanarity gate; we solve the same ``dim x dim`` system
+        ``A c = b/2`` where ``A_ij = p0_j - p(i+1)_j`` and
+        ``b_i = sum_j A_ij (p0_j + p(i+1)_j)``, using the determinant gate in
+        2D/3D and the SVD-rank gate in higher dims
+        (``SphereParametersEstimator.hxx:169-202``).
+        """
+        p0 = samples[..., 0, :]
+        rest = samples[..., 1:, :]
+        a = p0[..., None, :] - rest                                 # [dim, dim]
+        b = jnp.sum(a * (p0[..., None, :] + rest), axis=-1)         # [dim]
+
+        if self.dim in (2, 3):
+            det = jnp.linalg.det(a)
+            valid = jnp.abs(det) >= SPHERE_EPS
+            safe = jnp.where(valid[..., None, None], a, jnp.eye(self.dim, dtype=a.dtype))
+            center = 0.5 * jnp.linalg.solve(safe, b[..., None])[..., 0]
+        else:
+            center, rank = pinv_solve(a, 0.5 * b)
+            valid = rank >= self.dim
+        r = jnp.linalg.norm(p0 - center, axis=-1)
+        return jnp.concatenate([center, r[..., None]], axis=-1), valid
+
+    # --------------------------------------------------------- least squares
+    def lsq_fit(self, data, mask=None):
+        params, valid = self._algebraic_fit(data, mask)
+        if self.ls_type == ALGEBRAIC:
+            return params, valid
+        result = levenberg_marquardt(
+            _sphere_residual, _sphere_jacobian, params, data,
+            mask=None if mask is None else mask,
+            config=self.lm_config,
+        )
+        # LM failure (non-convergence) -> invalid, like the reference's
+        # empty-vector return (``SphereParametersEstimator.hxx:331-337``).
+        ok = jnp.logical_and(valid, result.converged)
+        final = jnp.where(valid, result.x, params)
+        return final, ok
+
+    def _algebraic_fit(self, data, mask=None):
+        """``[-2p, 1] x = -p.p`` via SVD pseudo-inverse; rejects r^2 <= 0
+        (``SphereParametersEstimator.hxx:267-307``)."""
+        n = data.shape[0]
+        a = jnp.concatenate([-2.0 * data, jnp.ones((n, 1), data.dtype)], axis=-1)
+        b = -jnp.sum(data * data, axis=-1)
+        if mask is None:
+            x, rank = pinv_solve(a, b)
+            enough = jnp.asarray(n >= self.k)
+        else:
+            x, rank = masked_pinv_solve(a, b, mask)
+            enough = jnp.sum(mask) >= self.k
+        center = x[: self.dim]
+        r_sq = jnp.sum(center * center) - x[self.dim]
+        valid = jnp.logical_and(
+            jnp.logical_and(rank >= self.k, enough), r_sq > 0
+        )
+        r = jnp.sqrt(jnp.where(r_sq > 0, r_sq, 1.0))
+        return jnp.concatenate([center, r[None]]), valid
+
+    def agree(self, params, data):
+        """``| ||p - c|| - r | < delta`` (``SphereParametersEstimator.hxx:255-264``)."""
+        c = params[..., None, : self.dim]
+        r = params[..., None, self.dim]
+        dist = jnp.linalg.norm(data - c, axis=-1)
+        return jnp.abs(dist - r) < self.delta
+
+    def distance_statistics(self, params, data):
+        """Per-point |distance - r| plus (min, max, mean)
+        (``SphereParametersEstimator.hxx:341-377``)."""
+        c = params[..., : self.dim]
+        dist = jnp.abs(jnp.linalg.norm(data - c, axis=-1) - params[..., self.dim])
+        return dist, jnp.min(dist), jnp.max(dist), jnp.mean(dist)

@@ -1,0 +1,203 @@
+"""Massively batched RANSAC.
+
+TPU-native redesign of ``parametersEstimators/RANSAC.{h,hxx}``.  The
+reference evaluates hypotheses one at a time in a data-dependent loop
+(``RANSAC.hxx:49-117``: draw subset, exact fit, early-exit vote count,
+adaptive iteration budget, final consensus refit).  Here:
+
+  * a fixed batch of hypotheses is drawn up front with counter-based
+    ``jax.random`` (reproducible — unlike the reference's
+    ``srand(time(NULL))``, ``RANSAC.hxx:44``),
+  * minimal fits are vmapped; degenerate samples become ``valid=False``
+    lanes (the empty-parameter-vector convention, ``RANSAC.hxx:87-88``)
+    whose vote count is forced to -1 so they can never win selection,
+  * votes are one ``[B, n]`` fused compare+reduce (the reference's
+    early-exit inner loop ``RANSAC.hxx:94-99`` is pure serial-CPU tuning
+    and is dropped),
+  * the best hypothesis is an argmax; ties resolve to the lowest index
+    (the reference keeps the *first* strictly-better hypothesis —
+    identical selection given equal ordering),
+  * the final refit reuses the estimator's masked least squares
+    (``RANSAC.hxx:128-139``).
+
+Three drivers mirror the reference API:
+  * :func:`ransac` — fixed hypothesis budget, single fused device step.
+  * :func:`ransac_adaptive` — host-side loop that re-evaluates the
+    ``log(1-p)/log(1-w^k)`` budget (``RANSAC.hxx:100-111``) between
+    device-sized rounds.
+  * :func:`ransac_exhaustive` — all C(n, k) subsets, batched
+    (``RANSAC.hxx:149-248``).
+"""
+
+import functools
+import itertools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsqrrecipes_tpu.ransac.sampling import (
+    choose,
+    num_tries,
+    sample_k_subsets,
+)
+
+
+class RansacResult(NamedTuple):
+    params: jnp.ndarray           # [P] refit parameters (garbage if not valid)
+    valid: jnp.ndarray            # [] bool
+    inlier_fraction: jnp.ndarray  # [] best consensus size / n
+    consensus: jnp.ndarray        # [n] bool mask of the winning consensus set
+    best_count: jnp.ndarray       # [] int
+    minimal_params: jnp.ndarray   # [P_min] winning minimal-fit parameters
+
+
+def _gather(data, idx):
+    return jax.tree_util.tree_map(lambda a: a[idx], data)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def hypothesize_and_vote(est, data, idx):
+    """Evaluate one batch of minimal-sample hypotheses.
+
+    idx: ``int32[B, k]`` -> ``(best_count, best_mask[n], best_params)`` for
+    this batch.  Fused: sample gather, vmapped minimal fit, vectorized agree,
+    vote reduction, argmax selection all compile into one XLA program.
+    """
+    params, valid = jax.vmap(est.minimal_fit)(_gather(data, idx))
+    agree = jax.vmap(lambda p: est.agree(p, data))(params)
+    counts = jnp.where(valid, jnp.sum(agree, axis=-1), -1)
+    best = jnp.argmax(counts)
+    return counts[best], agree[best], params[best]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def consensus_refit(est, data, mask):
+    return est.lsq_fit(data, mask)
+
+
+def _data_size(data):
+    return jax.tree_util.tree_leaves(data)[0].shape[0]
+
+
+def _finalize(est, data, best_count, best_mask, best_params, n):
+    ok = int(best_count) > 0
+    if ok:
+        params, valid = consensus_refit(est, data, best_mask)
+    else:
+        params = jnp.zeros((getattr(est, "nparams_lsq", est.nparams),))
+        valid = jnp.asarray(False)
+    return RansacResult(
+        params=params,
+        valid=jnp.logical_and(valid, ok),
+        inlier_fraction=jnp.asarray(max(int(best_count), 0) / n),
+        consensus=best_mask,
+        best_count=jnp.asarray(int(best_count)),
+        minimal_params=best_params,
+    )
+
+
+def ransac(est, data, key, num_hypotheses: int = 4096) -> RansacResult:
+    """Fixed-budget batched RANSAC (the TPU-native default).
+
+    Draws ``num_hypotheses`` minimal subsets at once and performs one fused
+    hypothesize+vote+select step, then the consensus refit.  Equivalent to
+    running the reference's probabilistic variant with a pre-committed
+    iteration budget; choose the budget via
+    :func:`lsqrrecipes_tpu.ransac.sampling.num_tries` with a worst-case
+    inlier fraction, or just oversample — hypotheses are cheap on TPU.
+    """
+    n = _data_size(data)
+    if n < est.k:
+        return _invalid_result(est, n)
+    idx = sample_k_subsets(key, n, est.k, num_hypotheses)
+    best_count, best_mask, best_params = hypothesize_and_vote(est, data, idx)
+    return _finalize(est, data, best_count, best_mask, best_params, n)
+
+
+def ransac_adaptive(
+    est,
+    data,
+    key,
+    desired_probability: float = 0.999,
+    batch_size: int = 1024,
+    max_hypotheses: int = 1 << 20,
+) -> RansacResult:
+    """Adaptive-budget RANSAC: device-sized rounds, host-side budget update.
+
+    Mirrors the reference's adaptive loop (``RANSAC.hxx:100-111``): after
+    each round the iteration budget is recomputed from the best inlier
+    fraction seen so far; rounds stop once the number of evaluated
+    hypotheses covers the budget (or all C(n, k) subsets).
+    """
+    n = _data_size(data)
+    if n < est.k:
+        return _invalid_result(est, n)
+    if not (0.0 < desired_probability < 1.0):
+        return _invalid_result(est, n)
+
+    all_tries = min(choose(n, est.k), max_hypotheses)
+    budget = all_tries
+    evaluated = 0
+    best_count = -1
+    best_mask = jnp.zeros((n,), bool)
+    best_params = None
+
+    while evaluated < budget:
+        key, sub = jax.random.split(key)
+        b = min(batch_size, budget - evaluated)
+        idx = sample_k_subsets(sub, n, est.k, b)
+        count, mask, params = hypothesize_and_vote(est, data, idx)
+        evaluated += b
+        if int(count) > best_count:
+            best_count, best_mask, best_params = int(count), mask, params
+            if best_count == n:
+                break
+            budget = min(
+                num_tries(desired_probability, best_count / n, est.k, all_tries),
+                all_tries,
+            )
+    if best_params is None:
+        return _invalid_result(est, n)
+    return _finalize(est, data, best_count, best_mask, best_params, n)
+
+
+def ransac_exhaustive(est, data, batch_size: int = 8192) -> RansacResult:
+    """Evaluate every C(n, k) subset (``RANSAC.hxx:149-248``).
+
+    Subsets are enumerated host-side in lexicographic order (matching the
+    reference's recursion, ``RANSAC.hxx:196-213``) and evaluated in
+    device-sized batches.  Intended for small n, as in the reference
+    (``RANSAC.h:107-108``).
+    """
+    n = _data_size(data)
+    if n < est.k:
+        return _invalid_result(est, n)
+
+    best_count = -1
+    best_mask = jnp.zeros((n,), bool)
+    best_params = None
+    combos = itertools.combinations(range(n), est.k)
+    while True:
+        chunk = list(itertools.islice(combos, batch_size))
+        if not chunk:
+            break
+        idx = jnp.asarray(np.array(chunk, dtype=np.int32))
+        count, mask, params = hypothesize_and_vote(est, data, idx)
+        if int(count) > best_count:
+            best_count, best_mask, best_params = int(count), mask, params
+    if best_params is None:
+        return _invalid_result(est, n)
+    return _finalize(est, data, best_count, best_mask, best_params, n)
+
+
+def _invalid_result(est, n):
+    return RansacResult(
+        params=jnp.zeros((getattr(est, "nparams_lsq", est.nparams),)),
+        valid=jnp.asarray(False),
+        inlier_fraction=jnp.asarray(0.0),
+        consensus=jnp.zeros((max(n, 1),), bool),
+        best_count=jnp.asarray(-1),
+        minimal_params=jnp.zeros((est.nparams,)),
+    )
