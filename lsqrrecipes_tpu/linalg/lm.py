@@ -130,9 +130,12 @@ def levenberg_marquardt(
         small_decrease = jnp.logical_and(
             accept, (state.cost - cost_new) <= config.ftol * jnp.maximum(state.cost, eps_tiny)
         )
+        # Damping blown past max_lambda means even ~gradient-descent steps
+        # cannot reduce the cost: the iterate is (numerically) stationary.
+        # MINPACK likewise reports xtol-convergence for tiny rejected steps.
         lam_blown = lam >= config.max_lambda
-        converged = small_grad | (accept & small_step) | small_decrease
-        done = converged | lam_blown | (state.it + 1 >= config.max_iters)
+        converged = small_grad | small_step | small_decrease | lam_blown
+        done = converged | (state.it + 1 >= config.max_iters)
 
         return _State(x, cost, lam, nu, state.it + 1,
                       done, state.converged | converged)
