@@ -1,0 +1,126 @@
+#!/usr/bin/env python
+"""Headline benchmark: batched RANSAC hypotheses/second on one TPU chip.
+
+Workload: 3D sphere estimation (minimal circumsphere fits + inlier voting)
+on n=1024 points with 20% outliers — the same workload as the compiled-C++
+serial baseline (``native/ransac_baseline.cpp``, the stand-in for the
+reference's RANSAC engine, which needs VNL to compile).  ``vs_baseline`` is
+TPU hypotheses/s divided by single-core C++ hypotheses/s; BASELINE.json's
+target is >100x at one host.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Usage: python bench.py [--dtype f32|f64] [--hypotheses B] [--steps K]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+
+def build_and_run_cpp_baseline(n_points, hypotheses=200_000):
+    """Compile (cached) and run the serial C++ baseline; returns hyp/s."""
+    src = os.path.join(REPO, "native", "ransac_baseline.cpp")
+    binary = os.path.join(REPO, "native", "ransac_baseline")
+    if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", binary, src],
+            check=True,
+        )
+    out = subprocess.run(
+        [binary, str(n_points), str(hypotheses)],
+        check=True,
+        capture_output=True,
+        text=True,
+    )
+    return float(json.loads(out.stdout)["hyp_per_s"])
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    parser.add_argument("--points", type=int, default=1024)
+    parser.add_argument("--hypotheses", type=int, default=131072)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--baseline-hypotheses", type=int, default=200_000)
+    args = parser.parse_args()
+
+    cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)
+
+    import jax
+    import jax.numpy as jnp
+
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+    from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote
+    from lsqrrecipes_tpu.ransac.sampling import sample_k_with_replacement
+
+    dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
+
+    # Same data model as the C++ baseline: 80% inliers on a sphere + 20%
+    # uniform outliers.
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_in = args.points * 4 // 5
+    d = jax.random.normal(k1, (n_in, 3), dtype)
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    center = jnp.asarray([5.0, -2.0, 11.0], dtype)
+    inliers = center + 25.0 * d + 0.3 * jax.random.normal(k2, (n_in, 3), dtype)
+    outliers = jax.random.uniform(
+        k3, (args.points - n_in, 3), dtype, minval=-40.0, maxval=40.0
+    )
+    points = jnp.concatenate([inliers, outliers])
+
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+
+    # All steps run inside one jitted scan: a single device dispatch, so the
+    # tunnel/dispatch latency does not pollute the throughput measurement.
+    @jax.jit
+    def run(seed0):
+        def body(carry, i):
+            idx = sample_k_with_replacement(
+                jax.random.fold_in(jax.random.PRNGKey(seed0), i),
+                args.points,
+                est.k,
+                args.hypotheses,
+            )
+            best_count, _, best_params = hypothesize_and_vote(est, points, idx)
+            better = best_count > carry[0]
+            return (
+                jnp.where(better, best_count, carry[0]),
+                jnp.where(better, best_params, carry[1]),
+            ), None
+
+        init = (jnp.asarray(-1), jnp.zeros((4,), dtype))
+        (count, params), _ = jax.lax.scan(body, init, jnp.arange(args.steps))
+        return count, params
+
+    # Warm up / compile.
+    jax.block_until_ready(run(0))
+
+    t0 = time.perf_counter()
+    result = run(1)
+    jax.block_until_ready(result)
+    elapsed = time.perf_counter() - t0
+
+    tpu_hps = args.hypotheses * args.steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -92,3 +92,13 @@ class Line2DEstimator(Estimator):
             + p[..., 1] * (data[..., 1] - p[..., 3])
         )
         return d * d < self.delta_squared
+
+    def vote_counts(self, params, data):
+        """Matmul-structured batch vote: ``s = N @ X^T - (n.a)``."""
+        n = params[..., :2]
+        offset = jnp.sum(n * params[..., 2:], axis=-1)
+        s = (
+            jnp.einsum("bd,nd->bn", n, data, preferred_element_type=data.dtype)
+            - offset[:, None]
+        )
+        return jnp.sum(s * s < self.delta_squared, axis=-1)

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from lsqrrecipes_tpu.config import EPS, SPHERE_EPS
 from lsqrrecipes_tpu.estimators.base import Estimator, register
 from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt, masked_pinv_solve, pinv_solve
+from lsqrrecipes_tpu.linalg import small
 
 ALGEBRAIC = "algebraic"
 GEOMETRIC = "geometric"
@@ -68,10 +69,13 @@ class SphereEstimator(Estimator):
         b = jnp.sum(a * (p0[..., None, :] + rest), axis=-1)         # [dim]
 
         if self.dim in (2, 3):
-            det = jnp.linalg.det(a)
+            # Cramer closed forms, like the reference's hand-coded 2D/3D
+            # solvers — also the fastest TPU formulation (pure VPU
+            # arithmetic; TPU XLA has no f64 LU decomposition).
+            solver = small.solve2 if self.dim == 2 else small.solve3
+            center, det = solver(a, b)
+            center = 0.5 * center
             valid = jnp.abs(det) >= SPHERE_EPS
-            safe = jnp.where(valid[..., None, None], a, jnp.eye(self.dim, dtype=a.dtype))
-            center = 0.5 * jnp.linalg.solve(safe, b[..., None])[..., 0]
         else:
             center, rank = pinv_solve(a, 0.5 * b)
             valid = rank >= self.dim
@@ -120,6 +124,26 @@ class SphereEstimator(Estimator):
         r = params[..., None, self.dim]
         dist = jnp.linalg.norm(data - c, axis=-1)
         return jnp.abs(dist - r) < self.delta
+
+    def vote_counts(self, params, data):
+        """MXU-structured inlier count for a hypothesis batch.
+
+        ``dist^2 = |p|^2 - 2 c.p + |c|^2`` puts the dominant term on the
+        matrix unit (``[B, d] @ [d, n]``); the epilogue (sqrt, compare,
+        reduce over n) fuses on the VPU without materializing [B, n] in HBM.
+        """
+        c = params[..., : self.dim]
+        r = params[..., self.dim]
+        cp = jnp.einsum(
+            "bd,nd->bn", c, data, preferred_element_type=data.dtype
+        )
+        d2 = (
+            jnp.sum(data * data, axis=-1)[None, :]
+            - 2.0 * cp
+            + jnp.sum(c * c, axis=-1)[:, None]
+        )
+        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+        return jnp.sum(jnp.abs(dist - r[:, None]) < self.delta, axis=-1)
 
     def distance_statistics(self, params, data):
         """Per-point |distance - r| plus (min, max, mean)

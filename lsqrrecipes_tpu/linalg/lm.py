@@ -32,6 +32,8 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from lsqrrecipes_tpu.linalg import small
+
 
 class LMConfig(NamedTuple):
     ftol: float = 1e-15
@@ -99,7 +101,9 @@ def levenberg_marquardt(
         # (possible in masked-out or degenerate lanes) stay solvable.
         diag = jnp.maximum(diag, eps_tiny)
         a = jtj + state.lam * jnp.diag(diag)
-        step = -jnp.linalg.solve(a, g)
+        # Damped J^T J is SPD: unrolled Cholesky (TPU XLA has no f64 LU,
+        # and batched tiny solves belong on the VPU anyway).
+        step, _ = small.cholesky_solve_unrolled(a, -g, a.shape[-1])
 
         x_new = state.x + step
         cost_new = cost_of(x_new)

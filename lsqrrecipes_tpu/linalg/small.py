@@ -1,0 +1,104 @@
+"""Closed-form solvers for tiny systems — the TPU-friendly hot path.
+
+TPU XLA does not implement f64 LU decomposition, and even where LAPACK-style
+ops exist they are the wrong tool for batches of thousands of <=16x16
+systems: the right formulation is straight-line arithmetic on the VPU.
+These helpers are pure elementwise jnp (no LinAlg custom calls), batched
+over leading axes, and differentiable.
+"""
+
+import jax.numpy as jnp
+
+
+def solve2(a, b):
+    """Cramer solve of ``a[..., 2, 2] x = b[..., 2]`` -> ``(x, det)``."""
+    det = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+    safe = jnp.where(det == 0, 1.0, det)
+    x0 = (a[..., 1, 1] * b[..., 0] - a[..., 0, 1] * b[..., 1]) / safe
+    x1 = (a[..., 0, 0] * b[..., 1] - a[..., 1, 0] * b[..., 0]) / safe
+    return jnp.stack([x0, x1], axis=-1), det
+
+
+def solve3(a, b):
+    """Adjugate (Cramer) solve of ``a[..., 3, 3] x = b[..., 3]`` -> ``(x, det)``.
+
+    Same arithmetic as the reference's hand-coded 3D sphere solver
+    (``SphereParametersEstimator.hxx:115-163``).
+    """
+    c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+    c10 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+    c20 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+    det = a[..., 0, 0] * c00 + a[..., 0, 1] * c10 + a[..., 0, 2] * c20
+
+    c01 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+    c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+    c21 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+
+    c02 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+    c12 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+    c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+
+    safe = jnp.where(det == 0, 1.0, det)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    x0 = (c00 * b0 + c01 * b1 + c02 * b2) / safe
+    x1 = (c10 * b0 + c11 * b1 + c12 * b2) / safe
+    x2 = (c20 * b0 + c21 * b1 + c22 * b2) / safe
+    return jnp.stack([x0, x1, x2], axis=-1), det
+
+
+def cholesky_solve_unrolled(a, b, n: int):
+    """Unrolled Cholesky solve of SPD ``a[..., n, n] x = b[..., n]``.
+
+    Compile-time-unrolled (n is static, intended n <= ~16): pure arithmetic,
+    no custom calls, works for f64 on TPU, vmappable and differentiable.
+    Returns ``(x, min_pivot)`` — ``min_pivot`` (the smallest diagonal entry
+    of L, squared curvature) is the degeneracy signal; non-SPD inputs yield
+    min_pivot <= 0.
+    """
+    tiny = jnp.finfo(a.dtype).tiny
+    l = [[None] * n for _ in range(n)]
+    min_pivot = None
+    for j in range(n):
+        s = a[..., j, j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        min_pivot = s if min_pivot is None else jnp.minimum(min_pivot, s)
+        ljj = jnp.sqrt(jnp.maximum(s, tiny))
+        l[j][j] = ljj
+        for i in range(j + 1, n):
+            t = a[..., i, j]
+            for k in range(j):
+                t = t - l[i][k] * l[j][k]
+            l[i][j] = t / ljj
+    # Forward substitution L y = b.
+    y = [None] * n
+    for i in range(n):
+        t = b[..., i]
+        for k in range(i):
+            t = t - l[i][k] * y[k]
+        y[i] = t / l[i][i]
+    # Back substitution L^T x = y.
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - l[k][i] * x[k]
+        x[i] = t / l[i][i]
+    return jnp.stack(x, axis=-1), min_pivot
+
+
+def solve_spd(a, b):
+    """SPD solve dispatcher: closed forms for n <= 3, unrolled Cholesky
+    beyond.  ``a[..., n, n] x = b[..., n]`` -> ``(x, valid_signal)`` where
+    valid_signal > 0 indicates a well-posed system."""
+    n = a.shape[-1]
+    if n == 1:
+        d = a[..., 0, 0]
+        return b / jnp.where(d == 0, 1.0, d), d
+    if n == 2:
+        x, det = solve2(a, b)
+        return x, det
+    if n == 3:
+        x, det = solve3(a, b)
+        return x, det
+    return cholesky_solve_unrolled(a, b, n)

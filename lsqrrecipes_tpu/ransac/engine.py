@@ -41,7 +41,23 @@ from lsqrrecipes_tpu.ransac.sampling import (
     choose,
     num_tries,
     sample_k_subsets,
+    sample_k_with_replacement,
 )
+
+# Above this many [B, n] cells, exact distinct-subset sampling (which draws
+# a [B, n] uniform matrix) is replaced by with-replacement sampling whose
+# rare duplicate rows self-mask as degenerate hypotheses.
+_EXACT_SAMPLING_CELLS = 1 << 24
+
+
+def _sample(key, n, k, num_hypotheses, sampler="auto"):
+    if sampler == "auto":
+        sampler = (
+            "with_replacement" if num_hypotheses * n > _EXACT_SAMPLING_CELLS else "exact"
+        )
+    if sampler == "exact":
+        return sample_k_subsets(key, n, k, num_hypotheses)
+    return sample_k_with_replacement(key, n, k, num_hypotheses)
 
 
 class RansacResult(NamedTuple):
@@ -64,8 +80,19 @@ def hypothesize_and_vote(est, data, idx):
     idx: ``int32[B, k]`` -> ``(best_count, best_mask[n], best_params)`` for
     this batch.  Fused: sample gather, vmapped minimal fit, vectorized agree,
     vote reduction, argmax selection all compile into one XLA program.
+
+    Estimators may provide ``vote_counts(params[B, P], data) -> int[B]`` —
+    typically a matmul-structured formulation that keeps the inlier test on
+    the MXU and reduces in-register; only the *winning* hypothesis's [n]
+    agree mask is then materialized, never the [B, n] matrix.
     """
     params, valid = jax.vmap(est.minimal_fit)(_gather(data, idx))
+    if hasattr(est, "vote_counts"):
+        counts = est.vote_counts(params, data)
+        counts = jnp.where(valid, counts, -1)
+        best = jnp.argmax(counts)
+        best_mask = est.agree(params[best], data)
+        return counts[best], best_mask, params[best]
     agree = jax.vmap(lambda p: est.agree(p, data))(params)
     counts = jnp.where(valid, jnp.sum(agree, axis=-1), -1)
     best = jnp.argmax(counts)
@@ -98,7 +125,7 @@ def _finalize(est, data, best_count, best_mask, best_params, n):
     )
 
 
-def ransac(est, data, key, num_hypotheses: int = 4096) -> RansacResult:
+def ransac(est, data, key, num_hypotheses: int = 4096, sampler: str = "auto") -> RansacResult:
     """Fixed-budget batched RANSAC (the TPU-native default).
 
     Draws ``num_hypotheses`` minimal subsets at once and performs one fused
@@ -111,7 +138,7 @@ def ransac(est, data, key, num_hypotheses: int = 4096) -> RansacResult:
     n = _data_size(data)
     if n < est.k:
         return _invalid_result(est, n)
-    idx = sample_k_subsets(key, n, est.k, num_hypotheses)
+    idx = _sample(key, n, est.k, num_hypotheses, sampler)
     best_count, best_mask, best_params = hypothesize_and_vote(est, data, idx)
     return _finalize(est, data, best_count, best_mask, best_params, n)
 

@@ -27,6 +27,20 @@ def sample_k_subsets(key, n, k, num_subsets):
     return idx.astype(jnp.int32)
 
 
+def sample_k_with_replacement(key, n, k, num_subsets):
+    """O(num_subsets * k) sampler: independent uniform indices per row.
+
+    Rows may contain duplicate indices (probability ~ k^2/2n per row); a
+    duplicate makes the minimal sample degenerate, which the engine already
+    masks out via the estimator's ``valid`` flag — so with-replacement
+    sampling just wastes a ~1% sliver of the hypothesis budget instead of
+    paying the O(num_subsets * n) memory of exact subset sampling.  This is
+    the right trade at TPU batch sizes (documented deviation from the
+    reference's strict distinct-index sampling, ``RANSAC.hxx:56-68``).
+    """
+    return jax.random.randint(key, (num_subsets, k), 0, n, dtype=jnp.int32)
+
+
 def sample_k_subsets_chunked(key, n, k, num_subsets, chunk=4096):
     """Memory-bounded variant: draws in chunks of hypotheses."""
     keys = jax.random.split(key, -(-num_subsets // chunk))
