@@ -21,10 +21,11 @@ from lsqrrecipes_tpu.geometry.frame import Frame
 
 def _parse_floats(path):
     try:
-        from lsqrrecipes_tpu.io import _native  # built lazily; optional
+        from lsqrrecipes_tpu.io import _native  # optional: native/build.sh
 
-        return _native.parse_floats(str(path))
-    except Exception:
+        raw = _native.parse_floats_raw(str(path))
+        return np.frombuffer(raw, dtype=np.float64)
+    except ImportError:
         with open(path) as f:
             return np.array(f.read().split(), dtype=np.float64)
 
