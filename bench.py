@@ -58,8 +58,7 @@ def main():
     import jax.numpy as jnp
 
     from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
-    from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote
-    from lsqrrecipes_tpu.ransac.sampling import sample_k_with_replacement
+    from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote_structured
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
 
@@ -79,25 +78,27 @@ def main():
 
     est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
 
+    groups = max(1, args.hypotheses // args.points)
+    hypotheses_per_step = groups * args.points
+
     # All steps run inside one jitted scan: a single device dispatch, so the
     # tunnel/dispatch latency does not pollute the throughput measurement.
+    # Sampling is the structured permutation+roll scheme (no [B, k] gathers)
+    # and the fit+vote is the fused Pallas kernel (f32 on TPU).
     @jax.jit
     def run(seed0):
         def body(carry, i):
-            idx = sample_k_with_replacement(
-                jax.random.fold_in(jax.random.PRNGKey(seed0), i),
-                args.points,
-                est.k,
-                args.hypotheses,
+            key = jax.random.fold_in(jax.random.PRNGKey(seed0), i)
+            best_count, _, best_params = hypothesize_and_vote_structured(
+                est, points, key, groups
             )
-            best_count, _, best_params = hypothesize_and_vote(est, points, idx)
             better = best_count > carry[0]
             return (
                 jnp.where(better, best_count, carry[0]),
                 jnp.where(better, best_params, carry[1]),
             ), None
 
-        init = (jnp.asarray(-1), jnp.zeros((4,), dtype))
+        init = (jnp.asarray(-1, jnp.int32), jnp.zeros((4,), dtype))
         (count, params), _ = jax.lax.scan(body, init, jnp.arange(args.steps))
         return count, params
 
@@ -109,7 +110,7 @@ def main():
     jax.block_until_ready(result)
     elapsed = time.perf_counter() - t0
 
-    tpu_hps = args.hypotheses * args.steps / elapsed
+    tpu_hps = hypotheses_per_step * args.steps / elapsed
     print(
         json.dumps(
             {

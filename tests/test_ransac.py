@@ -29,6 +29,8 @@ from lsqrrecipes_tpu.ransac import (
     ransac_exhaustive,
     sample_k_subsets,
 )
+from lsqrrecipes_tpu.ransac.engine import ransac_structured
+from lsqrrecipes_tpu.ransac.sampling import structured_samples
 
 EXAMPLES_DATA = "/root/reference/examples/Data"
 COS5 = np.cos(np.radians(5.0))
@@ -97,6 +99,46 @@ def test_ransac_exhaustive_small():
     assert bool(res.valid)
     assert abs(float(jnp.dot(res.params[:2], normal))) > COS5
     assert int(res.best_count) >= 15 - 2
+
+
+def test_structured_samples_distinct_and_uniform():
+    data = jnp.arange(40.0)[:, None]  # observation id as coordinate
+    samples = structured_samples(jax.random.PRNGKey(0), data, 4, groups=8)
+    assert samples.shape == (8 * 40, 4, 1)
+    ids = samples[..., 0].astype(int)
+    # Each hypothesis uses distinct observations (nonzero distinct shifts).
+    sorted_ids = jnp.sort(ids, axis=1)
+    frac_dup = float(jnp.mean(jnp.any(sorted_ids[:, 1:] == sorted_ids[:, :-1], axis=1)))
+    assert frac_dup < 0.05
+    # Every observation appears equally often in slot 0 (the permutation).
+    counts = jnp.bincount(ids[:, 0], length=40)
+    assert bool(jnp.all(counts == 8))
+
+
+def test_ransac_structured_line2d():
+    normal, anchor, pts = make_outlier_line(jax.random.PRNGKey(12))
+    est = Line2DEstimator(delta=1.5)
+    res = ransac_structured(est, pts, jax.random.PRNGKey(13), num_hypotheses=2000)
+    assert bool(res.valid)
+    assert abs(float(jnp.dot(res.params[:2], normal))) > COS5
+
+
+def test_ransac_structured_sphere_fallback_path():
+    key = jax.random.PRNGKey(14)
+    k1, k2, k3 = jax.random.split(key, 3)
+    center = jnp.asarray([5.0, -2.0, 11.0])
+    d = jax.random.normal(k1, (80, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    pts = jnp.concatenate(
+        [
+            center + 25.0 * d + 0.3 * jax.random.normal(k2, (80, 3)),
+            jax.random.uniform(k3, (20, 3), minval=-40, maxval=40),
+        ]
+    )
+    est = SphereEstimator(delta=1.0, dim=3)
+    res = ransac_structured(est, pts, jax.random.PRNGKey(15), num_hypotheses=4096)
+    assert bool(res.valid)
+    np.testing.assert_allclose(res.params[:3], center, atol=1.0)
 
 
 def test_ransac_too_few_data_invalid():
