@@ -43,14 +43,78 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000):
     return float(json.loads(out.stdout)["hyp_per_s"])
 
 
+def bench_lm(args):
+    """Secondary metric: vmapped geometric-sphere LM iterations/second.
+
+    B independent LM problems (one per RANSAC consensus refit in a real
+    sweep) run as one vmapped ``lax.while_loop``; iterations/s counts
+    B x (iterations to convergence of the slowest lane).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from lsqrrecipes_tpu.estimators.sphere import (
+        _sphere_jacobian,
+        _sphere_residual,
+    )
+    from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt
+
+    b, n = args.hypotheses // 32, 256
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    centers = jax.random.uniform(k1, (b, 3), jnp.float32, -50, 50)
+    d = jax.random.normal(k2, (b, n, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pts = centers[:, None, :] + 25.0 * d + 0.3 * jax.random.normal(k3, (b, n, 3), jnp.float32)
+    x0 = jnp.concatenate(
+        [centers + 1.0, jnp.full((b, 1), 23.0, jnp.float32)], axis=1
+    )
+
+    config = LMConfig(max_iters=30, ftol=0.0, xtol=0.0, gtol=1e-6)
+
+    @jax.jit
+    def run(x0, pts):
+        return jax.vmap(
+            lambda x, p: levenberg_marquardt(
+                _sphere_residual, _sphere_jacobian, x, p, config=config
+            )
+        )(x0, pts)
+
+    out = run(x0, pts)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = run(x0, pts)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+    iters = int(jnp.max(out.iterations))
+    rate = b * iters * reps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "lm_iterations_per_s",
+                "value": round(rate, 1),
+                "unit": "LM iterations/s (batched problems x inner steps)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 def main():
     parser = argparse.ArgumentParser()
+    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm"])
     parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     parser.add_argument("--points", type=int, default=1024)
     parser.add_argument("--hypotheses", type=int, default=131072)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--baseline-hypotheses", type=int, default=200_000)
     args = parser.parse_args()
+
+    if args.metric == "lm":
+        bench_lm(args)
+        return
 
     cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)
 
