@@ -122,7 +122,8 @@ def main():
     import jax.numpy as jnp
 
     from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
-    from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote_structured
+    from lsqrrecipes_tpu.ops.sphere_ransac import fast_sphere_ransac_step
+    from lsqrrecipes_tpu.ops.vote import pack_points
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
 
@@ -144,17 +145,18 @@ def main():
 
     groups = max(1, args.hypotheses // args.points)
     hypotheses_per_step = groups * args.points
+    points_t, valid, _ = pack_points(points)
 
     # All steps run inside one jitted scan: a single device dispatch, so the
     # tunnel/dispatch latency does not pollute the throughput measurement.
-    # Sampling is the structured permutation+roll scheme (no [B, k] gathers)
-    # and the fit+vote is the fused Pallas kernel (f32 on TPU).
+    # Sampling is gather-free (permutation + static doubled-array slices in
+    # planar [12, B] layout) and fit+vote is the fused planar Pallas kernel.
     @jax.jit
     def run(seed0):
         def body(carry, i):
             key = jax.random.fold_in(jax.random.PRNGKey(seed0), i)
-            best_count, _, best_params = hypothesize_and_vote_structured(
-                est, points, key, groups
+            best_count, best_params = fast_sphere_ransac_step(
+                points, points_t, valid, key, groups, est.delta
             )
             better = best_count > carry[0]
             return (
@@ -162,7 +164,7 @@ def main():
                 jnp.where(better, best_params, carry[1]),
             ), None
 
-        init = (jnp.asarray(-1, jnp.int32), jnp.zeros((4,), dtype))
+        init = (jnp.asarray(-1, jnp.int32), jnp.zeros((4,), jnp.float32))
         (count, params), _ = jax.lax.scan(body, init, jnp.arange(args.steps))
         return count, params
 

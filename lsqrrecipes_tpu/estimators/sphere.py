@@ -120,26 +120,13 @@ class SphereEstimator(Estimator):
         return jnp.concatenate([center, r[None]]), valid
 
     def fit_and_vote(self, samples, data):
-        """Fused hypothesize+vote: Pallas kernel on TPU/f32, jnp fallback.
+        """Fused hypothesize+vote over a pre-gathered sample batch.
 
         samples ``[B, k, d]`` -> ``(counts[B], params[B, d+1])`` with
-        degenerate samples reporting count -1.
+        degenerate samples reporting count -1.  NOTE: on TPU prefer the
+        planar fast path (``ops.sphere_ransac.fast_sphere_ransac_step``) —
+        [B, k, d] arrays tile-pad catastrophically there.
         """
-        b = samples.shape[0]
-        if (
-            self.dim == 3
-            and samples.dtype == jnp.float32
-            and b % 1024 == 0
-        ):
-            from lsqrrecipes_tpu.ops import vote as _vote
-
-            if _vote.pallas_available():
-                from lsqrrecipes_tpu.ops.sphere_ransac import sphere_fit_and_vote
-
-                points_t, valid_cols, _ = _vote.pack_points(data)
-                return sphere_fit_and_vote(
-                    samples, points_t, valid_cols, self.delta
-                )
         params, valid = jax.vmap(self.minimal_fit)(samples)
         counts = jnp.where(valid, self.vote_counts(params, data), -1)
         return counts, params
