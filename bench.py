@@ -108,7 +108,7 @@ def main():
     parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     parser.add_argument("--points", type=int, default=1024)
     parser.add_argument("--hypotheses", type=int, default=131072)
-    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--steps", type=int, default=100)
     parser.add_argument("--baseline-hypotheses", type=int, default=200_000)
     args = parser.parse_args()
 
@@ -122,7 +122,7 @@ def main():
     import jax.numpy as jnp
 
     from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
-    from lsqrrecipes_tpu.ops.sphere_ransac import fast_sphere_ransac_step
+    from lsqrrecipes_tpu.ops.sphere_ransac import fast_sphere_ransac_sweep
     from lsqrrecipes_tpu.ops.vote import pack_points
 
     dtype = jnp.float32 if args.dtype == "f32" else jnp.float64
@@ -147,26 +147,17 @@ def main():
     hypotheses_per_step = groups * args.points
     points_t, valid, _ = pack_points(points)
 
-    # All steps run inside one jitted scan: a single device dispatch, so the
-    # tunnel/dispatch latency does not pollute the throughput measurement.
-    # Sampling is gather-free (permutation + static doubled-array slices in
-    # planar [12, B] layout) and fit+vote is the fused planar Pallas kernel.
+    # The whole sweep is one jitted program (a single device dispatch, so
+    # tunnel latency does not pollute the measurement): 4 slot permutations
+    # built once, then a scan of fused Pallas steps (in-kernel 128-aligned
+    # slice sampling + Cramer circumsphere + MXU vote) over a static table
+    # of distinct shift quadruples.
     @jax.jit
     def run(seed0):
-        def body(carry, i):
-            key = jax.random.fold_in(jax.random.PRNGKey(seed0), i)
-            best_count, best_params = fast_sphere_ransac_step(
-                points, points_t, valid, key, groups, est.delta
-            )
-            better = best_count > carry[0]
-            return (
-                jnp.where(better, best_count, carry[0]),
-                jnp.where(better, best_params, carry[1]),
-            ), None
-
-        init = (jnp.asarray(-1, jnp.int32), jnp.zeros((4,), jnp.float32))
-        (count, params), _ = jax.lax.scan(body, init, jnp.arange(args.steps))
-        return count, params
+        return fast_sphere_ransac_sweep(
+            points, points_t, valid, jax.random.PRNGKey(seed0),
+            groups, args.steps, est.delta,
+        )
 
     # Warm up / compile.
     jax.block_until_ready(run(0))

@@ -147,7 +147,7 @@ class SphereEstimator(Estimator):
 
         On TPU with float32 data the fused Pallas kernel takes over
         (``ops/vote.py``): matmul + epilogue + reduction entirely in VMEM
-        (measured ~2e9 hypotheses/s at n=1024 on one v5e chip).
+        (measured ~2e9 vote-rows/s at n=1024 on one v5e chip).
         """
         if (
             self.dim == 3

@@ -193,25 +193,28 @@ def sphere_fit_and_vote_planar(sxyz, points_t, valid, delta, block_b: int = 1024
     return counts[0], params_t
 
 
-def mega_group_shifts(groups: int, n: int):
-    """Static per-group slot shifts, all multiples of 128.
+def mega_group_shifts(groups: int, n: int, seed: int = 987654321):
+    """Static per-group slot-shift quadruples, all multiples of 128.
 
     Mosaic dynamic lane-slices must be provably 128-aligned, so the
-    hypothesis variety comes from FOUR independent per-step permutations
-    (one per sample slot) x distinct (s1, s2, s3) shift triples drawn from
+    hypothesis variety comes from FOUR independent permutations (one per
+    sample slot) x distinct (s0, s1, s2, s3) shift quadruples drawn from
     the 128-multiples in [0, n).  Slot j of hypothesis (g, i) is
     ``perm_j[(i + s_gj) % n]``; cross-permutation slots are independent
     uniform draws (rare coincident points land on the degeneracy mask).
+    Distinct quadruples guarantee distinct hypothesis sets across groups —
+    and across scan steps when callers request ``groups = steps * G`` and
+    slice per step (the permutations then amortize over a whole sweep).
     """
-    options = list(range(0, n, 128))
-    rng = np.random.default_rng(987654321 + n)
+    options = np.arange(0, n, 128)
+    rng = np.random.default_rng(seed + n)
     combos = set()
-    shifts = np.zeros((groups, 3), dtype=np.int64)
+    shifts = np.zeros((groups, 4), dtype=np.int64)
     g = 0
     while g < groups:
-        c = tuple(rng.choice(options, size=3))
+        c = tuple(rng.choice(options, size=4))
         if c in combos:
-            if len(combos) >= len(options) ** 3:
+            if len(combos) >= len(options) ** 4:
                 combos.clear()  # exhausted: allow repeats
             continue
         combos.add(c)
@@ -236,9 +239,7 @@ def _make_megakernel(delta: float, n: int, n_pad: int, groups: int):
 
         def slot(c, j):
             row = 3 * j + c
-            if j == 0:
-                return coords2_ref[row : row + 1, 0:n]
-            off = pl.multiple_of(shifts_ref[g, j - 1], 128)
+            off = pl.multiple_of(shifts_ref[g, j], 128)
             return coords2_ref[row : row + 1, pl.ds(off, n)]
 
         sx = [slot(0, j) for j in range(4)]
@@ -278,25 +279,33 @@ def _make_megakernel(delta: float, n: int, n_pad: int, groups: int):
             [cx, cy, cz, r, deg_row, zeros, zeros, zeros], axis=0
         )
 
+        # Single-matmul vote.  With hi = (r+d)^2, lo = max(r-d, 0)^2 the
+        # agree test  lo <= dist^2 < hi  is the affine band test |e| < 1 for
+        #   e[i, m] = w_i * dist^2[i, m] + o_i,
+        #   w = 2/(hi - lo),  o = -(hi + lo)/(hi - lo).
+        # dist^2 = pp[m] - 2 c.p + cc expands e into ONE K=5 product:
+        #   A5 = [w(-2cx), w(-2cy), w(-2cz), w*cc + o, w]
+        #   P5 = [x, y, z, 1, pp]
+        # Degenerate lanes take (w, o) = (0, 2) -> e = 2 -> count 0.
         cc = cx * cx + cy * cy + cz * cz
         hi = (r + delta) ** 2
         lo_root = jnp.maximum(r - delta, 0.0)
         lo = lo_root * lo_root
+        width = jnp.maximum(hi - lo, jnp.float32(1e-30))
+        w = jnp.where(degenerate, 0.0, 2.0 / width)
+        o = jnp.where(degenerate, 2.0, -(hi + lo) / width)
 
         pts = points_ref[:]
         pp = jnp.sum(pts * pts, axis=0, keepdims=True)
         ones_row = jnp.ones_like(pp)
-        p4 = jnp.concatenate([pts, ones_row], axis=0)
-
-        big = jnp.float32(1e30)
-        a_hi = jnp.concatenate(
-            [-2.0 * cx, -2.0 * cy, -2.0 * cz, cc - hi + big * deg_row], axis=0
+        p5 = jnp.concatenate([pts, ones_row, pp], axis=0)
+        a5 = jnp.concatenate(
+            [w * (-2.0 * cx), w * (-2.0 * cy), w * (-2.0 * cz), w * cc + o, w],
+            axis=0,
         )
-        a_lo = jnp.concatenate([-2.0 * cx, -2.0 * cy, -2.0 * cz, cc - lo], axis=0)
         dims = (((0,), (0,)), ((), ()))
-        e_hi = jax.lax.dot_general(a_hi, p4, dims, preferred_element_type=jnp.float32)
-        e_lo = jax.lax.dot_general(a_lo, p4, dims, preferred_element_type=jnp.float32)
-        agree = jnp.logical_and(e_hi + pp < 0.0, e_lo + pp >= 0.0).astype(jnp.float32)
+        e = jax.lax.dot_general(a5, p5, dims, preferred_element_type=jnp.float32)
+        agree = (jnp.abs(e) < 1.0).astype(jnp.float32)
         counts_ref[0, :] = jnp.sum(agree * valid_ref[:], axis=1).astype(jnp.int32)
 
     return kernel
@@ -364,6 +373,41 @@ def fast_sphere_ransac_step(points, points_t, valid, key, groups, delta):
     return counts[best], params_t[:4, best]
 
 
+def fast_sphere_ransac_sweep(points, points_t, valid, key, groups, steps, delta):
+    """Whole hypothesis sweep with amortized permutations.
+
+    The 4 slot permutations are built ONCE; each scan step consumes a
+    distinct slice of a ``steps * groups`` static shift-quadruple table, so
+    the per-step device work is just the fused kernel + argmax.  Total
+    hypotheses = ``steps * groups * n`` (all distinct subsets while the
+    quadruple pool ``(n/128)^4`` lasts).  Returns
+    ``(best_count, best_params[4])``.
+    """
+    n = points.shape[0]
+    assert n % 128 == 0, "fast path requires n divisible by 128"
+    all_shifts = jnp.asarray(
+        mega_group_shifts(steps * groups, n), jnp.int32
+    ).reshape(steps, groups, 4)
+    coords2 = _slot_planes(points, key, n)
+
+    def body(carry, shifts):
+        counts, params_t = _megakernel_call(
+            shifts, coords2, points_t, valid, groups, float(delta), n,
+            points_t.shape[1],
+        )
+        counts = counts[0]
+        best = jnp.argmax(counts)
+        better = counts[best] > carry[0]
+        return (
+            jnp.where(better, counts[best], carry[0]),
+            jnp.where(better, params_t[:4, best], carry[1]),
+        ), None
+
+    init = (jnp.asarray(-1, jnp.int32), jnp.zeros((4,), jnp.float32))
+    (count, params), _ = jax.lax.scan(body, init, all_shifts)
+    return count, params
+
+
 def reference_mega_samples(points, key, groups):
     """Pure-jnp reconstruction of the megakernel's hypothesis set (tests)."""
     n = points.shape[0]
@@ -373,7 +417,7 @@ def reference_mega_samples(points, key, groups):
     for j in range(4):
         per_group = []
         for g in range(groups):
-            s = 0 if j == 0 else int(shifts[g, j - 1])
+            s = int(shifts[g, j])
             per_group.append(planes[3 * j : 3 * j + 3, s : s + n])  # [3, n]
         slots.append(jnp.concatenate(per_group, axis=1))            # [3, B]
     # -> samples [B, 4, 3]

@@ -56,7 +56,7 @@ def test_mega_matches_reference(interpret_pallas):
 
 def test_mega_shifts_distinct_and_aligned():
     shifts = sr.mega_group_shifts(64, 1024)
-    assert shifts.shape == (64, 3)
+    assert shifts.shape == (64, 4)
     assert (shifts % 128 == 0).all()
     assert len({tuple(s) for s in shifts}) == 64
 
