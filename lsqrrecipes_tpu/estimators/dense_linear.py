@@ -66,3 +66,17 @@ class DenseLinearSystemEstimator(Estimator):
         p = params[..., None, :]
         residual = jnp.sum(p * data[..., : self.n], axis=-1) - data[..., self.n]
         return jnp.abs(residual) < self.delta
+
+
+def augmented_rows(a, b):
+    """Adapter ``(A[m, n], b[m]) -> rows[m, n+1]``.
+
+    Mirrors ``DenseLinearEquationSystemParametersEstimator::getAugmentedRows``
+    (``...hxx:122-136``), which converts a matrix/vector pair into the
+    estimator's data elements.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if b.shape[0] != a.shape[0]:
+        raise ValueError("A and b row counts differ")
+    return jnp.concatenate([a, b[:, None]], axis=1)
