@@ -105,6 +105,13 @@ def bench_lm(args):
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--metric", default="ransac", choices=["ransac", "lm"])
+    parser.add_argument(
+        "--path",
+        default="fused_sweep",
+        choices=["fused_sweep", "scan"],
+        help="fused_sweep = whole sweep as ONE Pallas kernel (default); "
+        "scan = per-step megakernel under lax.scan (the previous headline path)",
+    )
     parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
     parser.add_argument("--points", type=int, default=1024)
     parser.add_argument("--hypotheses", type=int, default=131072)
@@ -145,19 +152,34 @@ def main():
 
     groups = max(1, args.hypotheses // args.points)
     hypotheses_per_step = groups * args.points
-    points_t, valid, _ = pack_points(points)
 
-    # The whole sweep is one jitted program (a single device dispatch, so
-    # tunnel latency does not pollute the measurement): 4 slot permutations
-    # built once, then a scan of fused Pallas steps (in-kernel 128-aligned
-    # slice sampling + Cramer circumsphere + MXU vote) over a static table
-    # of distinct shift quadruples.
-    @jax.jit
-    def run(seed0):
-        return fast_sphere_ransac_sweep(
-            points, points_t, valid, jax.random.PRNGKey(seed0),
-            groups, args.steps, est.delta,
-        )
+    if args.path == "fused_sweep":
+        # The whole sweep is ONE Pallas kernel (ops/fused_sweep.py): grid =
+        # total groups, in-kernel 128-aligned slice sampling over 4
+        # permutations per slot, Cramer circumsphere fit, single-matmul
+        # affine band vote, and the running best accumulated in VMEM/SMEM
+        # scratch across sequential grid steps — zero per-step HBM traffic.
+        from lsqrrecipes_tpu.ops.fused_sweep import fused_sweep
+
+        total_groups = groups * args.steps
+
+        @jax.jit
+        def run(seed0):
+            return fused_sweep(
+                "sphere3d", points, jax.random.PRNGKey(seed0),
+                total_groups, est.delta,
+            )
+    else:
+        # Previous headline path: a lax.scan of per-step megakernels with the
+        # running best carried host-side of the scan.
+        points_t, valid, _ = pack_points(points)
+
+        @jax.jit
+        def run(seed0):
+            return fast_sphere_ransac_sweep(
+                points, points_t, valid, jax.random.PRNGKey(seed0),
+                groups, args.steps, est.delta,
+            )
 
     # Warm up / compile.
     jax.block_until_ready(run(0))

@@ -16,9 +16,11 @@ class LineEstimator(Estimator):
     k = 2
 
     def __init__(self, delta: float, dim: int = 3):
+        self.delta = float(delta)
         self.delta_squared = float(delta) * float(delta)
         self.dim = int(dim)
         self.nparams = 2 * self.dim
+        self.fused_family = "line3d" if self.dim == 3 else None
 
     def minimal_fit(self, samples):
         """Direction = normalized ``p0 - p1`` (``LineParametersEstimator.hxx:23-48``);

@@ -18,7 +18,10 @@ class Line2DEstimator(Estimator):
     k = 2
     nparams = 4
 
+    fused_family = "line2d"
+
     def __init__(self, delta: float):
+        self.delta = float(delta)
         self.delta_squared = float(delta) * float(delta)
 
     def minimal_fit(self, samples):

@@ -13,10 +13,12 @@ from lsqrrecipes_tpu.linalg import eigvec_smallest, nullvector
 @register("plane")
 class PlaneEstimator(Estimator):
     def __init__(self, delta: float, dim: int = 3):
+        self.delta = float(delta)
         self.delta_squared = float(delta) * float(delta)
         self.dim = int(dim)
         self.k = self.dim
         self.nparams = 2 * self.dim
+        self.fused_family = "plane3d" if self.dim == 3 else None
 
     def minimal_fit(self, samples):
         """dim points -> normal.

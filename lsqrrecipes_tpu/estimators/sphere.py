@@ -46,6 +46,7 @@ class SphereEstimator(Estimator):
         if ls_type not in (ALGEBRAIC, GEOMETRIC):
             raise ValueError(f"unknown least-squares type {ls_type!r}")
         self.delta = float(delta)
+        self.fused_family = "sphere3d" if int(dim) == 3 else None
         self.dim = int(dim)
         self.k = self.dim + 1
         self.nparams = self.dim + 1

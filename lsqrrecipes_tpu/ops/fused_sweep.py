@@ -1,0 +1,379 @@
+"""Whole-sweep fused RANSAC kernels: ONE ``pallas_call`` per sweep.
+
+The per-step megakernel (``ops/sphere_ransac.py``) scans kernel launches and
+keeps the running best on the host side of a ``lax.scan``: each step pays a
+launch, a ``[1, B]`` counts + ``[8, B]`` params HBM round trip, an XLA argmax
+and a gather — profiled at ~60% of wall time.  Here the ENTIRE sweep is one
+kernel:
+
+  * ``grid = (total_groups,)``: TPU grid steps execute sequentially on the
+    core, so the running best lives in an SMEM scratch scalar plus an
+    ``[8, 128]`` output block that every step maps to ``(0, 0)`` (the
+    standard Pallas accumulation pattern) — per-step HBM traffic is ZERO;
+  * shifts are hashed from ``program_id`` in-kernel (odd-multiplier
+    bijection of the shift-tuple index space), so there is no shift table;
+  * each sample slot draws from FOUR independent permutations laid out as
+    one ``[d, 5n]`` plane (perm0|perm1|perm2|perm3|perm0), so a 128-aligned
+    window has ``4n/128`` positions and the k-slot tuple pool is
+    ``(4n/128)^k`` — 2^20 for the sphere at n=1024, where the per-step
+    kernel's ``(n/128)^4 = 4096`` pool was exhausted after 32 steps of 128
+    groups, silently repeating hypothesis sets;
+  * the winner's parameter column is extracted in-kernel with an iota
+    one-hot contraction, only on steps that improve the best (rare after
+    warm-up).
+
+Estimator-specific minimal fit + vote logic plugs in as a ``fit_vote``
+closure over ``[1, n]`` lane-row slices; the vote itself is the affine band
+trick (``ops/sphere_ransac._make_megakernel``): any predicate of the form
+``lo <= q(p) < hi`` with ``q`` affine in the point-feature rows becomes
+``|e| < 1`` for a single K-row MXU product ``e = P^T A``.  Hypotheses ride
+the LANES of ``e`` (points on sublanes), so the point reduction is a sublane
+sum that lands counts directly on a lane row — no relayout, no transpose
+(explicit transposes miscompile on this toolchain).
+
+Reference semantics covered per estimator (citations into /root/reference):
+sphere ``SphereParametersEstimator.hxx:80-163,255-264``; plane
+``PlaneParametersEstimator.hxx:48-69,195-203``; kD line
+``LineParametersEstimator.hxx:23-48,135-150``; 2D line
+``Line2DParametersEstimator.cxx:11-32,119-123``.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HASH_A = 1103515245   # odd => bijection of the shift-tuple index space
+_GUARD = 1e30          # pad-column sentinel: |e| >> 1 for any live hypothesis
+_PARAM_ROWS = 8        # output block sublanes: params + count, zero padded
+
+SPHERE_EPS = 1e-9      # SphereParametersEstimator.hxx:11 (f32 fast path)
+_NORM2_EPS = 1e-20     # f32 collinearity gate on squared cross-product norm
+
+
+def sweep_static(n: int, k_slots: int):
+    """Static shift-hash constants; n must be ``128 * 2^k`` lanes."""
+    assert n % 128 == 0, "fused sweep requires n divisible by 128"
+    m = (4 * n) // 128
+    b = m.bit_length() - 1
+    assert (1 << b) == m, "fused sweep requires n = 128 * 2^k"
+    assert k_slots * b <= 31, "shift hash exceeds 31 bits"
+    return m, b, (1 << (k_slots * b)) - 1
+
+
+def shift_units(g, j, b, m, mask):
+    """Slot-j window index (in 128-lane units) for group g — int32-safe."""
+    return (((g * _HASH_A) & mask) >> (b * j)) & (m - 1)
+
+
+def slot_planes(points, key, k_slots: int):
+    """Per-slot coordinate planes ``[k_slots * d, 5n]``: four independent
+    permutations concatenated, wrap-padded with the first (row = d*j + c)."""
+    n, d = points.shape
+    keys = jax.random.split(key, 4 * k_slots)
+    pts32 = jnp.asarray(points, jnp.float32)
+    rows = []
+    for j in range(k_slots):
+        planes = [
+            pts32[jax.random.permutation(keys[4 * j + i], n)].T for i in range(4)
+        ]
+        rows.append(jnp.concatenate(planes + [planes[0]], axis=1))
+    return jnp.concatenate(rows, axis=0)
+
+
+def pack_feature_rows(points, with_pp: bool):
+    """``[n, d] -> P[d+2, n_pad]`` feature rows for the band product:
+    ``[coords..., 1, guard]`` where guard is ``|p|^2`` (``with_pp``) or 0 on
+    live columns and 1e30 on padding columns (pads can never satisfy any
+    band whose guard coefficient is positive)."""
+    n, d = points.shape
+    n_pad = -(-n // 128) * 128
+    pts = jnp.asarray(points, jnp.float32)
+    p = jnp.zeros((d + 2, n_pad), jnp.float32)
+    p = p.at[0:d, :n].set(pts.T)
+    p = p.at[d, :n].set(1.0)
+    p = p.at[d + 1, n:].set(jnp.float32(_GUARD))
+    if with_pp:
+        p = p.at[d + 1, :n].set(jnp.sum(pts * pts, axis=1))
+    return p
+
+
+def _band_counts(a_rows, p_ref):
+    """``counts[1, n_h]`` for the affine band test ``|P^T A| < 1``."""
+    a = jnp.concatenate(a_rows, axis=0)
+    dims = (((0,), (0,)), ((), ()))
+    e = jax.lax.dot_general(p_ref[:], a, dims, preferred_element_type=jnp.float32)
+    agree = (jnp.abs(e) < 1.0).astype(jnp.float32)
+    return jnp.sum(agree, axis=0, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# fit_vote closures: slot_row(c, j) -> [1, n] lane row of coordinate c of
+# sample slot j; p_ref holds the matching pack_feature_rows output.  Each
+# returns (counts[1, n] f32 — already 0 on degenerate lanes, param rows).
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def sphere3d_fit_vote(delta: float):
+    """Cramer circumsphere (``SphereParametersEstimator.hxx:115-163``) +
+    shell band ``(r-delta)^2 <= dist^2 < (r+delta)^2``; needs ``with_pp``."""
+
+    def fit_vote(slot_row, p_ref):
+        sx = [slot_row(0, j) for j in range(4)]
+        sy = [slot_row(1, j) for j in range(4)]
+        sz = [slot_row(2, j) for j in range(4)]
+
+        a00 = sx[0] - sx[1]; a01 = sy[0] - sy[1]; a02 = sz[0] - sz[1]
+        a10 = sx[0] - sx[2]; a11 = sy[0] - sy[2]; a12 = sz[0] - sz[2]
+        a20 = sx[0] - sx[3]; a21 = sy[0] - sy[3]; a22 = sz[0] - sz[3]
+
+        c00 = a11 * a22 - a12 * a21
+        c10 = a12 * a20 - a10 * a22
+        c20 = a10 * a21 - a11 * a20
+        det = a00 * c00 + a01 * c10 + a02 * c20
+        degenerate = jnp.abs(det) < SPHERE_EPS
+        det = jnp.where(degenerate, 1.0, 2.0 * det)
+
+        c01 = a02 * a21 - a01 * a22
+        c11 = a00 * a22 - a02 * a20
+        c21 = a01 * a20 - a00 * a21
+        c02 = a01 * a12 - a02 * a11
+        c12 = a02 * a10 - a00 * a12
+        c22 = a00 * a11 - a01 * a10
+
+        b0 = a00 * (sx[0] + sx[1]) + a01 * (sy[0] + sy[1]) + a02 * (sz[0] + sz[1])
+        b1 = a10 * (sx[0] + sx[2]) + a11 * (sy[0] + sy[2]) + a12 * (sz[0] + sz[2])
+        b2 = a20 * (sx[0] + sx[3]) + a21 * (sy[0] + sy[3]) + a22 * (sz[0] + sz[3])
+
+        cx = (c00 * b0 + c01 * b1 + c02 * b2) / det
+        cy = (c10 * b0 + c11 * b1 + c12 * b2) / det
+        cz = (c20 * b0 + c21 * b1 + c22 * b2) / det
+        r = jnp.sqrt((sx[0] - cx) ** 2 + (sy[0] - cy) ** 2 + (sz[0] - cz) ** 2)
+
+        # |e| < 1 with e = w*dist^2 + o, dist^2 = pp - 2 c.p + cc.
+        cc = cx * cx + cy * cy + cz * cz
+        hi = (r + delta) ** 2
+        lo_root = jnp.maximum(r - delta, 0.0)
+        lo = lo_root * lo_root
+        width = jnp.maximum(hi - lo, jnp.float32(1e-30))
+        w = jnp.where(degenerate, 0.0, 2.0 / width)
+        o = jnp.where(degenerate, 2.0, -(hi + lo) / width)
+        counts = _band_counts(
+            [w * (-2.0 * cx), w * (-2.0 * cy), w * (-2.0 * cz), w * cc + o, w],
+            p_ref,
+        )
+        return counts, [cx, cy, cz, r]
+
+    return fit_vote
+
+
+@functools.cache
+def plane3d_fit_vote(delta: float):
+    """Cross-product plane (``PlaneParametersEstimator.hxx:48-69``) + signed
+    distance band (``:195-203``); plain guard (no pp row)."""
+    inv_delta = 1.0 / float(delta)
+
+    def fit_vote(slot_row, p_ref):
+        s = [[slot_row(c, j) for c in range(3)] for j in range(3)]
+        v1 = [s[1][c] - s[0][c] for c in range(3)]
+        v2 = [s[2][c] - s[0][c] for c in range(3)]
+        nx = v1[1] * v2[2] - v1[2] * v2[1]
+        ny = v1[2] * v2[0] - v1[0] * v2[2]
+        nz = v1[0] * v2[1] - v1[1] * v2[0]
+        norm2 = nx * nx + ny * ny + nz * nz
+        degenerate = norm2 < _NORM2_EPS
+        inv = jax.lax.rsqrt(jnp.where(degenerate, 1.0, norm2))
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        d_off = nx * s[0][0] + ny * s[0][1] + nz * s[0][2]
+
+        w = jnp.where(degenerate, 0.0, inv_delta)
+        o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
+        counts = _band_counts([w * nx, w * ny, w * nz, o, w], p_ref)
+        return counts, [nx, ny, nz, s[0][0], s[0][1], s[0][2]]
+
+    return fit_vote
+
+
+@functools.cache
+def line2d_fit_vote(delta: float):
+    """Two-point 2D line (``Line2DParametersEstimator.cxx:11-32``): n = unit
+    perpendicular of p1 - p0, degenerate when the points are closer than
+    delta; signed-distance band (``:119-123``)."""
+    inv_delta = 1.0 / float(delta)
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p_ref):
+        x0, y0 = slot_row(0, 0), slot_row(1, 0)
+        x1, y1 = slot_row(0, 1), slot_row(1, 1)
+        dx, dy = x1 - x0, y1 - y0
+        dist2 = dx * dx + dy * dy
+        degenerate = dist2 < delta_sq
+        inv = jax.lax.rsqrt(jnp.where(degenerate, 1.0, dist2))
+        nx, ny = dy * inv, -dx * inv   # matches Line2DEstimator's sign
+        d_off = nx * x0 + ny * y0
+
+        w = jnp.where(degenerate, 0.0, inv_delta)
+        o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
+        counts = _band_counts([w * nx, w * ny, o, w], p_ref)
+        return counts, [nx, ny, x0, y0]
+
+    return fit_vote
+
+
+@functools.cache
+def line3d_fit_vote(delta: float):
+    """Two-point 3D line (``LineParametersEstimator.hxx:23-48``), orthogonal
+    distance^2 band (``:135-150``): dist^2 = |p-a|^2 - (u.(p-a))^2 needs two
+    band products (e1 = u.(p-a) affine, e2 = |p-a|^2 via the pp row)."""
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p_ref):
+        a = [slot_row(c, 0) for c in range(3)]
+        p1 = [slot_row(c, 1) for c in range(3)]
+        d = [a[c] - p1[c] for c in range(3)]
+        dist2 = d[0] * d[0] + d[1] * d[1] + d[2] * d[2]
+        degenerate = dist2 < delta_sq
+        inv = jax.lax.rsqrt(jnp.where(degenerate, 1.0, dist2))
+        u = [d[c] * inv for c in range(3)]
+        ua = u[0] * a[0] + u[1] * a[1] + u[2] * a[2]
+        aa = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
+
+        dims = (((0,), (0,)), ((), ()))
+        zeros = jnp.zeros_like(ua)
+        a1 = jnp.concatenate([u[0], u[1], u[2], -ua, zeros], axis=0)
+        a2 = jnp.concatenate(
+            [-2.0 * a[0], -2.0 * a[1], -2.0 * a[2], aa, jnp.ones_like(aa)],
+            axis=0,
+        )
+        e1 = jax.lax.dot_general(p_ref[:], a1, dims, preferred_element_type=jnp.float32)
+        e2 = jax.lax.dot_general(p_ref[:], a2, dims, preferred_element_type=jnp.float32)
+        agree = ((e2 - e1 * e1) < delta_sq).astype(jnp.float32)
+        counts = jnp.sum(agree, axis=0, keepdims=True)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
+        return counts, [u[0], u[1], u[2], a[0], a[1], a[2]]
+
+    return fit_vote
+
+
+# ---------------------------------------------------------------------------
+# Generic sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(fit_vote, k_slots: int, d: int, n: int, b: int, m: int, mask: int):
+    def kernel(coords_ref, p_ref, best_ref, count_ref):
+        g = pl.program_id(0)
+
+        @pl.when(g == 0)
+        def _init():
+            count_ref[0] = jnp.float32(-1.0)
+            best_ref[:, :] = jnp.zeros_like(best_ref)
+
+        def slot_row(c, j):
+            row = d * j + c
+            off = pl.multiple_of(shift_units(g, j, b, m, mask) * 128, 128)
+            return coords_ref[row : row + 1, pl.ds(off, n)]
+
+        counts, param_rows = fit_vote(slot_row, p_ref)
+        cmax = jnp.max(counts, axis=1, keepdims=True)[0, 0]
+
+        @pl.when(cmax > count_ref[0])
+        def _update():
+            count_ref[0] = cmax
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            idx = jnp.min(
+                jnp.where(counts == cmax, iota, n), axis=1, keepdims=True
+            )[0, 0]
+            onehot = (iota == idx).astype(jnp.float32)
+            zeros = jnp.zeros_like(counts)
+            pad = [zeros] * (_PARAM_ROWS - len(param_rows) - 1)
+            params_all = jnp.concatenate(param_rows + [counts] + pad, axis=0)
+            col = jnp.sum(params_all * onehot, axis=1, keepdims=True)
+            best_ref[:, :] = jnp.broadcast_to(col, best_ref.shape)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("fit_vote", "k_slots", "d", "total_groups", "n")
+)
+def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n):
+    with jax.enable_x64(False):
+        m, b, mask = sweep_static(n, k_slots)
+        kernel = _make_kernel(fit_vote, k_slots, d, n, b, m, mask)
+        return pl.pallas_call(
+            kernel,
+            grid=(total_groups,),
+            in_specs=[
+                pl.BlockSpec(coords.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(p.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (_PARAM_ROWS, 128), lambda g: (0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((_PARAM_ROWS, 128), jnp.float32),
+            scratch_shapes=[pltpu.SMEM((1,), jnp.float32)],
+        )(coords, p)
+
+
+_FAMILIES = {
+    # name: (fit_vote factory, k_slots, d, with_pp, n_param_rows)
+    "sphere3d": (sphere3d_fit_vote, 4, 3, True, 4),
+    "plane3d": (plane3d_fit_vote, 3, 3, False, 6),
+    "line3d": (line3d_fit_vote, 2, 3, True, 6),
+    "line2d": (line2d_fit_vote, 2, 2, False, 4),
+}
+
+
+def supports(family: str, n: int, dim: int) -> bool:
+    """True if the fused sweep covers this problem shape."""
+    if family not in _FAMILIES:
+        return False
+    _, k_slots, d, _, _ = _FAMILIES[family]
+    if dim != d or n % 128 != 0:
+        return False
+    try:
+        sweep_static(n, k_slots)
+    except AssertionError:
+        return False
+    return True
+
+
+def fused_sweep(family: str, points, key, total_groups: int, delta: float):
+    """Run a whole fused sweep: ``total_groups * n`` hypotheses, one kernel.
+
+    Returns ``(best_count int32[], best_params f32[n_param_rows])`` with the
+    estimator's native param layout.  All hypothesis shift tuples are
+    distinct while ``total_groups <= (4n/128)^k``.
+    """
+    factory, k_slots, d, with_pp, npr = _FAMILIES[family]
+    n = points.shape[0]
+    sweep_static(n, k_slots)  # validate early
+    coords = slot_planes(points, key, k_slots)
+    p = pack_feature_rows(points, with_pp)
+    best = _sweep_call(
+        factory(float(delta)), coords, p, k_slots, d, total_groups, n
+    )
+    return best[npr, 0].astype(jnp.int32), best[0:npr, 0]
+
+
+def reference_samples(family: str, points, key, total_groups: int):
+    """Pure-jnp reconstruction of the sweep's hypothesis set (tests): returns
+    ``samples[total_groups * n, k_slots, d]`` in engine layout."""
+    _, k_slots, d, _, _ = _FAMILIES[family]
+    n = points.shape[0]
+    m, b, mask = sweep_static(n, k_slots)
+    planes = slot_planes(points, key, k_slots)
+    slots = []
+    for j in range(k_slots):
+        segs = []
+        for g in range(total_groups):
+            s = int(shift_units(g, j, b, m, mask)) * 128
+            segs.append(planes[d * j : d * j + d, s : s + n])
+        slots.append(jnp.concatenate(segs, axis=1))         # [d, B]
+    stacked = jnp.stack(slots, axis=0)                      # [k, d, B]
+    return jnp.transpose(stacked, (2, 0, 1))

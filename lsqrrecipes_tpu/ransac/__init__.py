@@ -7,6 +7,8 @@ from lsqrrecipes_tpu.ransac.engine import (
     ransac,
     ransac_adaptive,
     ransac_exhaustive,
+    ransac_fused_sweep,
+    ransac_structured,
 )
 from lsqrrecipes_tpu.ransac.sampling import (
     choose,
@@ -20,6 +22,8 @@ __all__ = [
     "ransac",
     "ransac_adaptive",
     "ransac_exhaustive",
+    "ransac_fused_sweep",
+    "ransac_structured",
     "hypothesize_and_vote",
     "consensus_refit",
     "sample_k_subsets",

@@ -148,6 +148,33 @@ def ransac_structured(
     return _finalize(est, data, best_count, best_mask, best_params, n)
 
 
+def ransac_fused_sweep(
+    est, data, key, num_hypotheses: int = 4096
+) -> RansacResult:
+    """Fastest single-chip path: the ENTIRE sweep as one Pallas kernel with
+    in-kernel best accumulation (:mod:`lsqrrecipes_tpu.ops.fused_sweep`).
+
+    Available when the estimator declares a ``fused_family`` (3D sphere /
+    plane / line, 2D line) and the data is a plain ``[n, d]`` point array
+    with ``n = 128 * 2^k``; falls back to :func:`ransac_structured`.
+    """
+    from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+    family = getattr(est, "fused_family", None)
+    leaves = jax.tree_util.tree_leaves(data)
+    plain_points = len(leaves) == 1 and leaves[0].ndim == 2
+    n = _data_size(data)
+    if n < est.k:
+        return _invalid_result(est, n)
+    if not (family and plain_points and fs.supports(family, n, leaves[0].shape[1])):
+        return ransac_structured(est, data, key, num_hypotheses)
+    total_groups = max(1, -(-num_hypotheses // n))
+    count, params = fs.fused_sweep(family, leaves[0], key, total_groups, est.delta)
+    best_params = jnp.asarray(params, leaves[0].dtype)
+    best_mask = est.agree(best_params, data)
+    return _finalize(est, data, count, best_mask, best_params, n)
+
+
 def _data_size(data):
     return jax.tree_util.tree_leaves(data)[0].shape[0]
 

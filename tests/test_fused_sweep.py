@@ -1,0 +1,141 @@
+"""Generic whole-sweep fused kernels — logic validated in interpret mode.
+
+Each family's kernel best-count must equal the max vote over the exact same
+hypothesis set reconstructed in pure jnp (``reference_samples``), and the
+winner's parameters must re-achieve that count through the estimator's own
+``agree``.  (Numerics are also verified on the real chip by the benchmark
+harness; interpret mode does not catch Mosaic layout miscompiles.)
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.experimental import pallas as pl
+
+from lsqrrecipes_tpu.estimators import (
+    ALGEBRAIC,
+    Line2DEstimator,
+    LineEstimator,
+    PlaneEstimator,
+    SphereEstimator,
+)
+from lsqrrecipes_tpu.ops import fused_sweep as fs
+from lsqrrecipes_tpu.ransac import ransac_fused_sweep
+
+
+@pytest.fixture
+def interpret_pallas(monkeypatch):
+    monkeypatch.setattr(
+        pl, "pallas_call", functools.partial(pl.pallas_call, interpret=True)
+    )
+
+
+def _outliered(key, n, d, make_inlier):
+    """80% structured inliers + 20% uniform outliers, f32."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_in = n - n // 5
+    inl = make_inlier(k1, n_in) + 0.2 * jax.random.normal(k2, (n_in, d), jnp.float32)
+    out = jax.random.uniform(k3, (n // 5, d), jnp.float32, -40, 40)
+    return jnp.concatenate([inl, out]).astype(jnp.float32)
+
+
+def _sphere_cloud(key, n):
+    def inlier(k, m):
+        v = jax.random.normal(k, (m, 3), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        return jnp.asarray([5.0, -2.0, 11.0]) + 25.0 * v
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _plane_cloud(key, n):
+    def inlier(k, m):
+        uv = jax.random.uniform(k, (m, 2), jnp.float32, -30, 30)
+        e1 = jnp.asarray([1.0, 0.0, 0.5]) / jnp.sqrt(1.25)
+        e2 = jnp.asarray([0.0, 1.0, -0.2])
+        e2 = e2 / jnp.linalg.norm(e2)
+        return jnp.asarray([2.0, -1.0, 4.0]) + uv[:, :1] * e1 + uv[:, 1:] * e2
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _line3d_cloud(key, n):
+    def inlier(k, m):
+        t = jax.random.uniform(k, (m, 1), jnp.float32, -40, 40)
+        u = jnp.asarray([0.6, -0.64, 0.48])
+        u = u / jnp.linalg.norm(u)
+        return jnp.asarray([1.0, 2.0, -3.0]) + t * u
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _line2d_cloud(key, n):
+    def inlier(k, m):
+        t = jax.random.uniform(k, (m, 1), jnp.float32, -40, 40)
+        u = jnp.asarray([0.8, 0.6])
+        return jnp.asarray([-2.0, 5.0]) + t * u
+
+    return _outliered(key, n, 2, inlier)
+
+
+CASES = [
+    ("sphere3d", _sphere_cloud, lambda: SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)),
+    ("plane3d", _plane_cloud, lambda: PlaneEstimator(delta=1.0, dim=3)),
+    ("line3d", _line3d_cloud, lambda: LineEstimator(delta=1.0, dim=3)),
+    ("line2d", _line2d_cloud, lambda: Line2DEstimator(delta=1.0)),
+]
+
+
+@pytest.mark.parametrize("family,cloud,make_est", CASES, ids=[c[0] for c in CASES])
+def test_fused_sweep_matches_reference(interpret_pallas, family, cloud, make_est):
+    n, total_groups = 256, 6
+    pts = cloud(jax.random.PRNGKey(3), n)
+    est = make_est()
+
+    bc, bp = fs.fused_sweep(family, pts, jax.random.PRNGKey(7), total_groups, 1.0)
+
+    samples = fs.reference_samples(family, pts, jax.random.PRNGKey(7), total_groups)
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(jnp.asarray(samples, jnp.float64))
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, pts)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    # f32 kernel vs f64 reference: individual border points may flip.
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, pts.dtype), pts)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > (4 * n) // 5 - n // 10  # found the structure
+
+
+def test_sweep_shift_pool_distinct():
+    # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
+    n = 256
+    for k_slots in (2, 3, 4):
+        m, b, mask = fs.sweep_static(n, k_slots)
+        tuples = {
+            tuple(fs.shift_units(g, j, b, m, mask) for j in range(k_slots))
+            for g in range(m**k_slots)
+        }
+        assert len(tuples) == m**k_slots
+
+
+@pytest.mark.parametrize("family,cloud,make_est", CASES, ids=[c[0] for c in CASES])
+def test_engine_fused_driver(interpret_pallas, family, cloud, make_est):
+    n = 256
+    pts = cloud(jax.random.PRNGKey(11), n)
+    est = make_est()
+    result = ransac_fused_sweep(est, pts, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    # Refit params agree with the consensus it was computed from.
+    refit_inliers = int(jnp.sum(est.agree(result.params, pts)))
+    assert refit_inliers >= int(0.9 * float(result.best_count))
+
+
+def test_engine_fused_driver_fallback():
+    # Non-128-multiple n falls back to the structured engine.
+    pts = _line2d_cloud(jax.random.PRNGKey(0), 200)
+    est = Line2DEstimator(delta=1.0)
+    result = ransac_fused_sweep(est, pts, jax.random.PRNGKey(1), num_hypotheses=512)
+    assert bool(result.valid)
