@@ -23,7 +23,7 @@ kernel:
     warm-up).
 
 Estimator-specific minimal fit + vote logic plugs in as a ``fit_vote``
-closure over ``[1, n]`` lane-row slices; the vote itself is the affine band
+closure over ``[1, n_h]`` lane-row slices; the vote itself is the affine band
 trick (``ops/sphere_ransac._make_megakernel``): any predicate of the form
 ``lo <= q(p) < hi`` with ``q`` affine in the point-feature rows becomes
 ``|e| < 1`` for a single K-row MXU product ``e = P^T A``.  Hypotheses ride
@@ -101,11 +101,11 @@ def pack_feature_rows(points, with_pp: bool):
     return p
 
 
-def _band_counts(a_rows, p_ref):
+def _band_counts(a_rows, p):
     """``counts[1, n_h]`` for the affine band test ``|P^T A| < 1``."""
     a = jnp.concatenate(a_rows, axis=0)
     dims = (((0,), (0,)), ((), ()))
-    e = jax.lax.dot_general(p_ref[:], a, dims, preferred_element_type=jnp.float32)
+    e = jax.lax.dot_general(p, a, dims, preferred_element_type=jnp.float32)
     agree = (jnp.abs(e) < 1.0).astype(jnp.float32)
     return jnp.sum(agree, axis=0, keepdims=True)
 
@@ -122,7 +122,7 @@ def sphere3d_fit_vote(delta: float):
     """Cramer circumsphere (``SphereParametersEstimator.hxx:115-163``) +
     shell band ``(r-delta)^2 <= dist^2 < (r+delta)^2``; needs ``with_pp``."""
 
-    def fit_vote(slot_row, p_ref):
+    def fit_vote(slot_row, p):
         sx = [slot_row(0, j) for j in range(4)]
         sy = [slot_row(1, j) for j in range(4)]
         sz = [slot_row(2, j) for j in range(4)]
@@ -164,7 +164,7 @@ def sphere3d_fit_vote(delta: float):
         o = jnp.where(degenerate, 2.0, -(hi + lo) / width)
         counts = _band_counts(
             [w * (-2.0 * cx), w * (-2.0 * cy), w * (-2.0 * cz), w * cc + o, w],
-            p_ref,
+            p,
         )
         return counts, [cx, cy, cz, r]
 
@@ -177,7 +177,7 @@ def plane3d_fit_vote(delta: float):
     distance band (``:195-203``); plain guard (no pp row)."""
     inv_delta = 1.0 / float(delta)
 
-    def fit_vote(slot_row, p_ref):
+    def fit_vote(slot_row, p):
         s = [[slot_row(c, j) for c in range(3)] for j in range(3)]
         v1 = [s[1][c] - s[0][c] for c in range(3)]
         v2 = [s[2][c] - s[0][c] for c in range(3)]
@@ -192,7 +192,7 @@ def plane3d_fit_vote(delta: float):
 
         w = jnp.where(degenerate, 0.0, inv_delta)
         o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
-        counts = _band_counts([w * nx, w * ny, w * nz, o, w], p_ref)
+        counts = _band_counts([w * nx, w * ny, w * nz, o, w], p)
         return counts, [nx, ny, nz, s[0][0], s[0][1], s[0][2]]
 
     return fit_vote
@@ -206,7 +206,7 @@ def line2d_fit_vote(delta: float):
     inv_delta = 1.0 / float(delta)
     delta_sq = float(delta) * float(delta)
 
-    def fit_vote(slot_row, p_ref):
+    def fit_vote(slot_row, p):
         x0, y0 = slot_row(0, 0), slot_row(1, 0)
         x1, y1 = slot_row(0, 1), slot_row(1, 1)
         dx, dy = x1 - x0, y1 - y0
@@ -218,7 +218,7 @@ def line2d_fit_vote(delta: float):
 
         w = jnp.where(degenerate, 0.0, inv_delta)
         o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
-        counts = _band_counts([w * nx, w * ny, o, w], p_ref)
+        counts = _band_counts([w * nx, w * ny, o, w], p)
         return counts, [nx, ny, x0, y0]
 
     return fit_vote
@@ -231,7 +231,7 @@ def line3d_fit_vote(delta: float):
     band products (e1 = u.(p-a) affine, e2 = |p-a|^2 via the pp row)."""
     delta_sq = float(delta) * float(delta)
 
-    def fit_vote(slot_row, p_ref):
+    def fit_vote(slot_row, p):
         a = [slot_row(c, 0) for c in range(3)]
         p1 = [slot_row(c, 1) for c in range(3)]
         d = [a[c] - p1[c] for c in range(3)]
@@ -249,8 +249,8 @@ def line3d_fit_vote(delta: float):
             [-2.0 * a[0], -2.0 * a[1], -2.0 * a[2], aa, jnp.ones_like(aa)],
             axis=0,
         )
-        e1 = jax.lax.dot_general(p_ref[:], a1, dims, preferred_element_type=jnp.float32)
-        e2 = jax.lax.dot_general(p_ref[:], a2, dims, preferred_element_type=jnp.float32)
+        e1 = jax.lax.dot_general(p, a1, dims, preferred_element_type=jnp.float32)
+        e2 = jax.lax.dot_general(p, a2, dims, preferred_element_type=jnp.float32)
         agree = ((e2 - e1 * e1) < delta_sq).astype(jnp.float32)
         counts = jnp.sum(agree, axis=0, keepdims=True)
         counts = counts * jnp.where(degenerate, 0.0, 1.0)
@@ -264,7 +264,23 @@ def line3d_fit_vote(delta: float):
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(fit_vote, k_slots: int, d: int, n: int, b: int, m: int, mask: int):
+def _make_kernel(
+    fit_vote,
+    k_slots: int,
+    d: int,
+    n: int,
+    b: int,
+    m: int,
+    mask: int,
+    gps: int,
+    vote_cols: int,
+):
+    """gps = groups evaluated per grid step (hypothesis width gps*n amortizes
+    the per-step scalar work); vote_cols = number of point columns the
+    in-kernel ranking vote sees (< n_pad enables preemptive-RANSAC scoring:
+    rank on a random subsample, caller full-votes the winner)."""
+    n_h = gps * n
+
     def kernel(coords_ref, p_ref, best_ref, count_ref):
         g = pl.program_id(0)
 
@@ -275,18 +291,23 @@ def _make_kernel(fit_vote, k_slots: int, d: int, n: int, b: int, m: int, mask: i
 
         def slot_row(c, j):
             row = d * j + c
-            off = pl.multiple_of(shift_units(g, j, b, m, mask) * 128, 128)
-            return coords_ref[row : row + 1, pl.ds(off, n)]
+            segs = []
+            for q in range(gps):
+                units = shift_units(g * gps + q, j, b, m, mask)
+                off = pl.multiple_of(units * 128, 128)
+                segs.append(coords_ref[row : row + 1, pl.ds(off, n)])
+            return segs[0] if gps == 1 else jnp.concatenate(segs, axis=1)
 
-        counts, param_rows = fit_vote(slot_row, p_ref)
+        p_vote = p_ref[:, 0:vote_cols]
+        counts, param_rows = fit_vote(slot_row, p_vote)
         cmax = jnp.max(counts, axis=1, keepdims=True)[0, 0]
 
         @pl.when(cmax > count_ref[0])
         def _update():
             count_ref[0] = cmax
-            iota = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_h), 1)
             idx = jnp.min(
-                jnp.where(counts == cmax, iota, n), axis=1, keepdims=True
+                jnp.where(counts == cmax, iota, n_h), axis=1, keepdims=True
             )[0, 0]
             onehot = (iota == idx).astype(jnp.float32)
             zeros = jnp.zeros_like(counts)
@@ -299,15 +320,18 @@ def _make_kernel(fit_vote, k_slots: int, d: int, n: int, b: int, m: int, mask: i
 
 
 @functools.partial(
-    jax.jit, static_argnames=("fit_vote", "k_slots", "d", "total_groups", "n")
+    jax.jit,
+    static_argnames=(
+        "fit_vote", "k_slots", "d", "total_groups", "n", "gps", "vote_cols"
+    ),
 )
-def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n):
+def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n, gps, vote_cols):
     with jax.enable_x64(False):
         m, b, mask = sweep_static(n, k_slots)
-        kernel = _make_kernel(fit_vote, k_slots, d, n, b, m, mask)
+        kernel = _make_kernel(fit_vote, k_slots, d, n, b, m, mask, gps, vote_cols)
         return pl.pallas_call(
             kernel,
-            grid=(total_groups,),
+            grid=(-(-total_groups // gps),),
             in_specs=[
                 pl.BlockSpec(coords.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(p.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
@@ -343,20 +367,54 @@ def supports(family: str, n: int, dim: int) -> bool:
     return True
 
 
-def fused_sweep(family: str, points, key, total_groups: int, delta: float):
+def fused_sweep(
+    family: str,
+    points,
+    key,
+    total_groups: int,
+    delta: float,
+    groups_per_step: int = 1,
+    vote_subsample: int = 0,
+):
     """Run a whole fused sweep: ``total_groups * n`` hypotheses, one kernel.
 
     Returns ``(best_count int32[], best_params f32[n_param_rows])`` with the
     estimator's native param layout.  All hypothesis shift tuples are
     distinct while ``total_groups <= (4n/128)^k``.
+
+    ``groups_per_step`` evaluates several groups per grid step (hypothesis
+    width ``gps * n``), amortizing the per-step scalar work at the cost of a
+    ``gps``-times-larger VMEM band matrix.
+
+    ``vote_subsample`` (a multiple of 128, < n) switches the in-kernel
+    ranking vote to a random point subsample — preemptive-RANSAC-style
+    scoring: every hypothesis is still fitted, but ranked by its inlier
+    count on ``vote_subsample`` points (a uniform random subset, fixed per
+    sweep); the returned count is the winner's SUBSAMPLE count, so callers
+    must re-vote the winner on the full data (``ransac_fused_sweep`` does).
+    This trades exact vote ranking for an ~``n/vote_subsample``-fold cut in
+    MXU work; with a clear dominant structure the selected consensus is the
+    same.  0 = exact full vote.
     """
     factory, k_slots, d, with_pp, npr = _FAMILIES[family]
     n = points.shape[0]
     sweep_static(n, k_slots)  # validate early
+    if vote_subsample:
+        assert vote_subsample % 128 == 0 and 0 < vote_subsample <= n
+        key, sub = jax.random.split(key)
+        # The kernel ranks on the FIRST vote_subsample feature columns, so
+        # shuffle the point order once per sweep (the guard/pp row layout is
+        # preserved by permuting before packing).
+        points_vote = points[jax.random.permutation(sub, n)]
+        p = pack_feature_rows(points_vote, with_pp)
+        vote_cols = vote_subsample
+    else:
+        p = pack_feature_rows(points, with_pp)
+        vote_cols = p.shape[1]
     coords = slot_planes(points, key, k_slots)
-    p = pack_feature_rows(points, with_pp)
     best = _sweep_call(
-        factory(float(delta)), coords, p, k_slots, d, total_groups, n
+        factory(float(delta)), coords, p, k_slots, d, total_groups, n,
+        groups_per_step, vote_cols,
     )
     return best[npr, 0].astype(jnp.int32), best[0:npr, 0]
 

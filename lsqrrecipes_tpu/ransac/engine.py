@@ -149,7 +149,12 @@ def ransac_structured(
 
 
 def ransac_fused_sweep(
-    est, data, key, num_hypotheses: int = 4096
+    est,
+    data,
+    key,
+    num_hypotheses: int = 4096,
+    groups_per_step: int = 1,
+    vote_subsample: int = 0,
 ) -> RansacResult:
     """Fastest single-chip path: the ENTIRE sweep as one Pallas kernel with
     in-kernel best accumulation (:mod:`lsqrrecipes_tpu.ops.fused_sweep`).
@@ -169,9 +174,16 @@ def ransac_fused_sweep(
     if not (family and plain_points and fs.supports(family, n, leaves[0].shape[1])):
         return ransac_structured(est, data, key, num_hypotheses)
     total_groups = max(1, -(-num_hypotheses // n))
-    count, params = fs.fused_sweep(family, leaves[0], key, total_groups, est.delta)
+    count, params = fs.fused_sweep(
+        family, leaves[0], key, total_groups, est.delta,
+        groups_per_step=groups_per_step, vote_subsample=vote_subsample,
+    )
     best_params = jnp.asarray(params, leaves[0].dtype)
     best_mask = est.agree(best_params, data)
+    if vote_subsample:
+        # Preemptive scoring ranks on a subsample; re-vote the winner on the
+        # full data so the reported consensus is exact.
+        count = jnp.sum(best_mask)
     return _finalize(est, data, count, best_mask, best_params, n)
 
 

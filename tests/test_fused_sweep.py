@@ -108,6 +108,40 @@ def test_fused_sweep_matches_reference(interpret_pallas, family, cloud, make_est
     assert int(bc) > (4 * n) // 5 - n // 10  # found the structure
 
 
+def test_fused_sweep_groups_per_step(interpret_pallas):
+    # gps > 1 evaluates the same hypothesis set (total_groups % gps == 0).
+    n, total_groups = 256, 8
+    pts = _sphere_cloud(jax.random.PRNGKey(3), n)
+    bc1, bp1 = fs.fused_sweep("sphere3d", pts, jax.random.PRNGKey(7), total_groups, 1.0)
+    bc2, bp2 = fs.fused_sweep(
+        "sphere3d", pts, jax.random.PRNGKey(7), total_groups, 1.0, groups_per_step=4
+    )
+    assert int(bc1) == int(bc2)
+    assert jnp.allclose(bp1, bp2)
+
+
+def test_fused_sweep_vote_subsample(interpret_pallas):
+    # Preemptive scoring: subsample count <= full count; winner still finds
+    # the dominant structure and its full re-vote matches the exact sweep's.
+    n, total_groups = 256, 8
+    pts = _plane_cloud(jax.random.PRNGKey(4), n)
+    est = PlaneEstimator(delta=1.0, dim=3)
+    bc_sub, bp_sub = fs.fused_sweep(
+        "plane3d", pts, jax.random.PRNGKey(7), total_groups, 1.0, vote_subsample=128
+    )
+    assert int(bc_sub) <= 128
+    full = int(jnp.sum(est.agree(jnp.asarray(bp_sub, pts.dtype), pts)))
+    assert full > (4 * n) // 5 - n // 10
+
+    res = ransac_fused_sweep(
+        est, pts, jax.random.PRNGKey(1), num_hypotheses=2048, vote_subsample=128
+    )
+    assert bool(res.valid)
+    # Engine re-votes the winner on the full data.
+    assert int(res.best_count) == int(jnp.sum(res.consensus))
+    assert float(res.inlier_fraction) > 0.6
+
+
 def test_sweep_shift_pool_distinct():
     # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
     n = 256
