@@ -167,6 +167,37 @@ def test_engine_fused_driver(interpret_pallas, family, cloud, make_est):
     assert refit_inliers >= int(0.9 * float(result.best_count))
 
 
+def test_sharded_fused_sweep(interpret_pallas):
+    # Mesh-sharded sweep == max over per-shard single-device sweeps with
+    # rank-folded keys; winner params broadcast to all shards.
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lsqrrecipes_tpu.parallel import sharded_fused_sweep
+
+    n, total_groups, h = 256, 8, 4
+    pts = _sphere_cloud(jax.random.PRNGKey(5), n)
+    key = jax.random.PRNGKey(9)
+    devices = jax.devices("cpu")[:h]
+    mesh = Mesh(np.asarray(devices), ("hypotheses",))
+
+    count, params = sharded_fused_sweep(
+        "sphere3d", pts, key, total_groups, 1.0, mesh=mesh
+    )
+
+    per_shard = [
+        fs.fused_sweep(
+            "sphere3d", jnp.asarray(pts, jnp.float32),
+            jax.random.fold_in(key, r), total_groups // h, 1.0,
+        )
+        for r in range(h)
+    ]
+    counts = [int(c) for c, _ in per_shard]
+    winner = int(jnp.argmax(jnp.asarray(counts)))
+    assert int(count) == counts[winner]
+    assert jnp.allclose(params, per_shard[winner][1])
+
+
 def test_engine_fused_driver_fallback():
     # Non-128-multiple n falls back to the structured engine.
     pts = _line2d_cloud(jax.random.PRNGKey(0), 200)
