@@ -70,26 +70,62 @@ def bench_lm(args):
         [centers + 1.0, jnp.full((b, 1), 23.0, jnp.float32)], axis=1
     )
 
-    config = LMConfig(max_iters=30, ftol=0.0, xtol=0.0, gtol=1e-6)
+    # Timing through the axon tunnel is only sound as ONE jitted dispatch
+    # whose outputs are actually fetched: pipelined multi-dispatch timings
+    # under a single block_until_ready under-report by 10-100x (the relay
+    # resolves futures before execution drains), and repeat executions of an
+    # identical call are memoized.  So: lax.scan over `reps` perturbed
+    # problems inside one jit, fetch the per-rep results, divide.
+    reps = 8
+
+    if args.path == "fused_sweep":
+        # Fused Pallas LM megakernel (ops/sphere_lm.py): planar layout,
+        # in-kernel J^T J / J^T r reductions + unrolled damped Cholesky.
+        # Measured ~4x the vmapped-XLA path at (B=4096, m=256).
+        from lsqrrecipes_tpu.ops.sphere_lm import sphere_lm_batch
+
+        def solve(x0_, pts_):
+            x, cost, iters, conv = sphere_lm_batch(
+                pts_, x0_, max_iters=30, gtol=1e-6
+            )
+            return x, iters
+    else:
+        config = LMConfig(max_iters=30, ftol=0.0, xtol=0.0, gtol=1e-6)
+
+        def solve(x0_, pts_):
+            res = jax.vmap(
+                lambda x, p: levenberg_marquardt(
+                    _sphere_residual, _sphere_jacobian, x, p, config=config
+                )
+            )(x0_, pts_)
+            return res.x, res.iterations
 
     @jax.jit
-    def run(x0, pts):
-        return jax.vmap(
-            lambda x, p: levenberg_marquardt(
-                _sphere_residual, _sphere_jacobian, x, p, config=config
-            )
-        )(x0, pts)
+    def sweep(x0, pts, shifts):
+        def body(carry, s):
+            x, iters = solve(x0, pts + jnp.stack([s, 0.0 * s, 0.0 * s]))
+            return carry, (jnp.mean(x[:, 0]), jnp.max(iters))
+        _, (mx, its) = jax.lax.scan(body, 0, shifts)
+        return mx, its
 
-    out = run(x0, pts)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        out = run(x0, pts)
-    jax.block_until_ready(out)
-    elapsed = time.perf_counter() - t0
-    iters = int(jnp.max(out.iterations))
-    rate = b * iters * reps / elapsed
+    import numpy as np
+
+    shifts = jnp.arange(1, reps + 1, dtype=pts.dtype) * 0.01
+    np.array(sweep(x0, pts, shifts)[0])          # compile + sync
+    best, iters = None, 0
+    for trial in range(3):                       # min-of-3: device is shared
+        scale = 2.0 + trial
+        t0 = time.perf_counter()
+        mx, its = sweep(x0, pts, scale * shifts)     # fresh problems
+        mx, its = np.array(mx), np.array(its)        # fetch = real sync
+        elapsed = (time.perf_counter() - t0) / reps
+        # Each rep's recovered mean center-x must track its own data shift —
+        # proof the timed work actually ran.
+        drift = np.diff(mx)
+        assert np.all(np.abs(drift - 0.01 * scale) < 1e-3), "bogus outputs"
+        if best is None or elapsed < best:
+            best, iters = elapsed, int(its.max())
+    rate = b * iters / best
     print(
         json.dumps(
             {
@@ -181,13 +217,28 @@ def main():
                 groups, args.steps, est.delta,
             )
 
-    # Warm up / compile.
-    jax.block_until_ready(run(0))
+    # Sound tunnel timing (see bench_lm): ONE jitted dispatch scanning over
+    # `reps` distinct-seed sweeps, outputs fetched.
+    import numpy as np
 
-    t0 = time.perf_counter()
-    result = run(1)
-    jax.block_until_ready(result)
-    elapsed = time.perf_counter() - t0
+    reps = 8
+
+    @jax.jit
+    def timed_sweeps(seed0):
+        def body(carry, i):
+            count, _params = run(seed0 + i)
+            return carry, count
+        _, counts = jax.lax.scan(body, 0, jnp.arange(reps))
+        return counts
+
+    np.array(timed_sweeps(0))                    # compile + sync
+    elapsed = None
+    for trial in range(3):                       # min-of-3: device is shared
+        t0 = time.perf_counter()
+        counts = np.array(timed_sweeps(100 + reps * trial))  # fresh seeds
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > 0).all(), "timing sweeps found no inliers"
+        elapsed = t if elapsed is None else min(elapsed, t)
 
     tpu_hps = hypotheses_per_step * args.steps / elapsed
     print(

@@ -29,6 +29,7 @@ def _stack_system(frames: Frame):
 class PivotCalibrationEstimator(Estimator):
     k = 3
     nparams = 6
+    fused_family = "pivot"
 
     def __init__(self, delta: float):
         self.delta = float(delta)

@@ -259,6 +259,138 @@ def line3d_fit_vote(delta: float):
     return fit_vote
 
 
+@functools.cache
+def pivot_fit_vote(delta: float):
+    """Pivot calibration, fully fused (k = 3 tracked frames).
+
+    The reference solves the stacked ``[R_i  -I][t_D; t_W] = -t_i`` system by
+    9x6 SVD pseudo-inverse (``PivotCalibrationParametersEstimator.cxx:9-51``).
+    For orthonormal R the normal matrix has closed structure
+    ``[[3I, -S^T], [-S, 3I]]`` with ``S = sum R_i``, so the minimal fit
+    reduces to a 3x3 Schur solve:
+
+        (9I - S S^T) t_W = 3 sum t - S sum(R^T t),   t_D = (S^T t_W - u)/3
+
+    (Cramer, ~90 VPU ops/lane); degenerate when det(9I - S S^T) ~ 0 — i.e.
+    all three rotations (nearly) equal, exactly the rank<6 case the
+    reference's SVD gate rejects.
+
+    The vote ``||R_i t_D + t_i - t_W||^2 < delta^2``
+    (``PivotCalibrationParametersEstimator.cxx:108-123``) expands into an
+    affine band over K = 17 per-frame feature rows
+    ``[t (3), R^T t (3), vec(R) (9), 1, |t|^2]``:
+
+        dist^2 = |t|^2 - 2 t_W . t + 2 t_D . (R^T t)
+                 - 2 sum_jk (t_D[k] t_W[j]) R[j,k] + |t_D|^2 + |t_W|^2
+
+    so one K=17 MXU product votes every (hypothesis, frame) pair.
+    Slot feature rows (15): [vec(R) 9, t 3, R^T t 3].
+    """
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p):
+        # Per-slot features: rows 0-8 = R[j, k] at 3j+k, 9-11 = t, 12-14 = R^T t.
+        def ssum(c):
+            return slot_row(c, 0) + slot_row(c, 1) + slot_row(c, 2)
+
+        s = [[ssum(3 * j + k) for k in range(3)] for j in range(3)]  # sum R
+        v = [ssum(9 + a) for a in range(3)]                          # sum t
+        u = [ssum(12 + a) for a in range(3)]                         # sum R^T t
+
+        # N = 9I - S S^T (symmetric), rhs = 3v - S u.
+        def dotr(a, b):
+            return s[a][0] * s[b][0] + s[a][1] * s[b][1] + s[a][2] * s[b][2]
+
+        n00 = 9.0 - dotr(0, 0)
+        n11 = 9.0 - dotr(1, 1)
+        n22 = 9.0 - dotr(2, 2)
+        n01 = -dotr(0, 1)
+        n02 = -dotr(0, 2)
+        n12 = -dotr(1, 2)
+        r0 = 3.0 * v[0] - (s[0][0] * u[0] + s[0][1] * u[1] + s[0][2] * u[2])
+        r1 = 3.0 * v[1] - (s[1][0] * u[0] + s[1][1] * u[1] + s[1][2] * u[2])
+        r2 = 3.0 * v[2] - (s[2][0] * u[0] + s[2][1] * u[1] + s[2][2] * u[2])
+
+        c00 = n11 * n22 - n12 * n12
+        c01 = n02 * n12 - n01 * n22
+        c02 = n01 * n12 - n02 * n11
+        det = n00 * c00 + n01 * c01 + n02 * c02
+        degenerate = jnp.abs(det) < 1e-6
+        det = jnp.where(degenerate, 1.0, det)
+        c11 = n00 * n22 - n02 * n02
+        c12 = n01 * n02 - n00 * n12
+        c22 = n00 * n11 - n01 * n01
+
+        tw0 = (c00 * r0 + c01 * r1 + c02 * r2) / det
+        tw1 = (c01 * r0 + c11 * r1 + c12 * r2) / det
+        tw2 = (c02 * r0 + c12 * r1 + c22 * r2) / det
+        td = [
+            (s[0][k] * tw0 + s[1][k] * tw1 + s[2][k] * tw2 - u[k]) / 3.0
+            for k in range(3)
+        ]
+
+        # Vote by direct residual components: e_j = (R t_D + t - t_W)_j as
+        # three K=17 products.  The single-product quadratic expansion
+        # (|t|^2 - 2 t_W.t + ...) cancels ~1e4-magnitude terms down to
+        # ~delta^2 and drowns in the MXU's default bf16-multiply passes;
+        # components stay O(residual) so f32 (Precision.HIGHEST) is exact
+        # enough.  The pad guard (|t|^2 = 1e30 column) folds into e_0.
+        tw = [tw0, tw1, tw2]
+        zeros = jnp.zeros_like(tw0)
+        ones = jnp.ones_like(tw0)
+        dims = (((0,), (0,)), ((), ()))
+
+        def component(j):
+            t_rows = [ones if a == j else zeros for a in range(3)]
+            rt_rows = [zeros, zeros, zeros]
+            r_rows = [
+                td[k] if jj == j else zeros for jj in range(3) for k in range(3)
+            ]
+            guard = ones if j == 0 else zeros
+            a = jnp.concatenate(
+                t_rows + rt_rows + r_rows + [-tw[j], guard], axis=0
+            )
+            return jax.lax.dot_general(
+                p, a, dims,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        e0, e1, e2 = component(0), component(1), component(2)
+        dist2 = e0 * e0 + e1 * e1 + e2 * e2
+        agree = (dist2 < delta_sq).astype(jnp.float32)
+        counts = jnp.sum(agree, axis=0, keepdims=True)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
+        return counts, [td[0], td[1], td[2], tw0, tw1, tw2]
+
+    return fit_vote
+
+
+def _pivot_features(frames):
+    """Frame batch -> per-observation slot features ``[n, 15]``."""
+    r = jnp.asarray(frames.r, jnp.float32)
+    t = jnp.asarray(frames.t, jnp.float32)
+    rt = jnp.einsum("nij,ni->nj", r, t)
+    return jnp.concatenate([r.reshape(r.shape[0], 9), t, rt], axis=1)
+
+
+def _pivot_p(frames):
+    """Vote feature rows ``[17, n_pad]`` = [t(3), R^T t(3), vec(R)(9), 1,
+    guard]; the guard row is 0 on live columns and 1e30 on padding."""
+    r = jnp.asarray(frames.r, jnp.float32)
+    t = jnp.asarray(frames.t, jnp.float32)
+    n = t.shape[0]
+    n_pad = -(-n // 128) * 128
+    rt = jnp.einsum("nij,ni->nj", r, t)
+    p = jnp.zeros((17, n_pad), jnp.float32)
+    p = p.at[0:3, :n].set(t.T)
+    p = p.at[3:6, :n].set(rt.T)
+    p = p.at[6:15, :n].set(r.reshape(n, 9).T)
+    p = p.at[15, :n].set(1.0)
+    p = p.at[16, n:].set(jnp.float32(_GUARD))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Generic sweep kernel
 # ---------------------------------------------------------------------------
@@ -344,21 +476,61 @@ def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n, gps, vote_cols
         )(coords, p)
 
 
+def _point_features(dim):
+    def features(data):
+        pts = jnp.asarray(data, jnp.float32)
+        assert pts.ndim == 2 and pts.shape[1] == dim
+        return pts
+
+    return features
+
+
+def _point_check(dim):
+    def check(data):
+        return getattr(data, "ndim", 0) == 2 and data.shape[1] == dim
+
+    return check
+
+
 _FAMILIES = {
-    # name: (fit_vote factory, k_slots, d, with_pp, n_param_rows)
-    "sphere3d": (sphere3d_fit_vote, 4, 3, True, 4),
-    "plane3d": (plane3d_fit_vote, 3, 3, False, 6),
-    "line3d": (line3d_fit_vote, 2, 3, True, 6),
-    "line2d": (line2d_fit_vote, 2, 2, False, 4),
+    # name: (factory, k_slots, feat_rows, n_param_rows, features, pack_p, check)
+    "sphere3d": (sphere3d_fit_vote, 4, 3, 4, _point_features(3),
+                 lambda d: pack_feature_rows(d, True), _point_check(3)),
+    "plane3d": (plane3d_fit_vote, 3, 3, 6, _point_features(3),
+                lambda d: pack_feature_rows(d, False), _point_check(3)),
+    "line3d": (line3d_fit_vote, 2, 3, 6, _point_features(3),
+               lambda d: pack_feature_rows(d, True), _point_check(3)),
+    "line2d": (line2d_fit_vote, 2, 2, 4, _point_features(2),
+               lambda d: pack_feature_rows(d, False), _point_check(2)),
+    "pivot": (pivot_fit_vote, 3, 15, 6, _pivot_features, _pivot_p,
+              lambda d: hasattr(d, "r") and hasattr(d, "t")),
 }
 
 
-def supports(family: str, n: int, dim: int) -> bool:
-    """True if the fused sweep covers this problem shape."""
+def _data_n(data):
+    return jax.tree_util.tree_leaves(data)[0].shape[0]
+
+
+def supports_data(family: str, data) -> bool:
+    """True if the fused sweep covers this (family, data) pair."""
     if family not in _FAMILIES:
         return False
-    _, k_slots, d, _, _ = _FAMILIES[family]
-    if dim != d or n % 128 != 0:
+    _, k_slots, _, _, _, _, check = _FAMILIES[family]
+    try:
+        if not check(data):
+            return False
+        sweep_static(_data_n(data), k_slots)
+    except AssertionError:
+        return False
+    return True
+
+
+def supports(family: str, n: int, dim: int) -> bool:
+    """Shape-only check for plain point families (see supports_data)."""
+    if family not in _FAMILIES:
+        return False
+    _, k_slots, feat_rows, _, _, _, _ = _FAMILIES[family]
+    if dim != feat_rows or n % 128 != 0:
         return False
     try:
         sweep_static(n, k_slots)
@@ -369,7 +541,7 @@ def supports(family: str, n: int, dim: int) -> bool:
 
 def fused_sweep(
     family: str,
-    points,
+    data,
     key,
     total_groups: int,
     delta: float,
@@ -378,60 +550,64 @@ def fused_sweep(
 ):
     """Run a whole fused sweep: ``total_groups * n`` hypotheses, one kernel.
 
-    Returns ``(best_count int32[], best_params f32[n_param_rows])`` with the
-    estimator's native param layout.  All hypothesis shift tuples are
-    distinct while ``total_groups <= (4n/128)^k``.
+    ``data`` is the estimator's native data (a point array, or a Frame batch
+    for the pivot family).  Returns ``(best_count int32[], best_params
+    f32[n_param_rows])`` with the estimator's native param layout.  All
+    hypothesis shift tuples are distinct while
+    ``total_groups <= (4n/128)^k``.
 
     ``groups_per_step`` evaluates several groups per grid step (hypothesis
     width ``gps * n``), amortizing the per-step scalar work at the cost of a
     ``gps``-times-larger VMEM band matrix.
 
     ``vote_subsample`` (a multiple of 128, < n) switches the in-kernel
-    ranking vote to a random point subsample — preemptive-RANSAC-style
+    ranking vote to a random observation subsample — preemptive-RANSAC-style
     scoring: every hypothesis is still fitted, but ranked by its inlier
-    count on ``vote_subsample`` points (a uniform random subset, fixed per
-    sweep); the returned count is the winner's SUBSAMPLE count, so callers
-    must re-vote the winner on the full data (``ransac_fused_sweep`` does).
-    This trades exact vote ranking for an ~``n/vote_subsample``-fold cut in
-    MXU work; with a clear dominant structure the selected consensus is the
-    same.  0 = exact full vote.
+    count on ``vote_subsample`` observations (a uniform random subset, fixed
+    per sweep); the returned count is the winner's SUBSAMPLE count, so
+    callers must re-vote the winner on the full data (``ransac_fused_sweep``
+    does).  This trades exact vote ranking for an
+    ~``n/vote_subsample``-fold cut in MXU work; with a clear dominant
+    structure the selected consensus is the same.  0 = exact full vote.
     """
-    factory, k_slots, d, with_pp, npr = _FAMILIES[family]
-    n = points.shape[0]
+    factory, k_slots, feat_rows, npr, features, pack_p, _check = _FAMILIES[family]
+    n = _data_n(data)
     sweep_static(n, k_slots)  # validate early
     if vote_subsample:
         assert vote_subsample % 128 == 0 and 0 < vote_subsample <= n
         key, sub = jax.random.split(key)
         # The kernel ranks on the FIRST vote_subsample feature columns, so
-        # shuffle the point order once per sweep (the guard/pp row layout is
-        # preserved by permuting before packing).
-        points_vote = points[jax.random.permutation(sub, n)]
-        p = pack_feature_rows(points_vote, with_pp)
+        # shuffle the observation order once per sweep (the guard row layout
+        # is preserved by permuting before packing).
+        perm = jax.random.permutation(sub, n)
+        p = pack_p(jax.tree_util.tree_map(lambda a: a[perm], data))
         vote_cols = vote_subsample
     else:
-        p = pack_feature_rows(points, with_pp)
+        p = pack_p(data)
         vote_cols = p.shape[1]
-    coords = slot_planes(points, key, k_slots)
+    coords = slot_planes(features(data), key, k_slots)
     best = _sweep_call(
-        factory(float(delta)), coords, p, k_slots, d, total_groups, n,
+        factory(float(delta)), coords, p, k_slots, feat_rows, total_groups, n,
         groups_per_step, vote_cols,
     )
     return best[npr, 0].astype(jnp.int32), best[0:npr, 0]
 
 
-def reference_samples(family: str, points, key, total_groups: int):
-    """Pure-jnp reconstruction of the sweep's hypothesis set (tests): returns
-    ``samples[total_groups * n, k_slots, d]`` in engine layout."""
-    _, k_slots, d, _, _ = _FAMILIES[family]
-    n = points.shape[0]
+def reference_samples(family: str, data, key, total_groups: int):
+    """Pure-jnp reconstruction of the sweep's hypothesis set (tests):
+    feature-row samples ``[total_groups * n, k_slots, feat_rows]`` (for point
+    families this is the engine's ``[B, k, d]`` sample layout; pivot rows
+    are ``[vec(R) 9, t 3, R^T t 3]``)."""
+    _, k_slots, feat_rows, _, features, _, _ = _FAMILIES[family]
+    n = _data_n(data)
     m, b, mask = sweep_static(n, k_slots)
-    planes = slot_planes(points, key, k_slots)
+    planes = slot_planes(features(data), key, k_slots)
     slots = []
     for j in range(k_slots):
         segs = []
         for g in range(total_groups):
             s = int(shift_units(g, j, b, m, mask)) * 128
-            segs.append(planes[d * j : d * j + d, s : s + n])
-        slots.append(jnp.concatenate(segs, axis=1))         # [d, B]
-    stacked = jnp.stack(slots, axis=0)                      # [k, d, B]
+            segs.append(planes[feat_rows * j : feat_rows * (j + 1), s : s + n])
+        slots.append(jnp.concatenate(segs, axis=1))         # [F, B]
+    stacked = jnp.stack(slots, axis=0)                      # [k, F, B]
     return jnp.transpose(stacked, (2, 0, 1))

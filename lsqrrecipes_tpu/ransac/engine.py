@@ -166,19 +166,17 @@ def ransac_fused_sweep(
     from lsqrrecipes_tpu.ops import fused_sweep as fs
 
     family = getattr(est, "fused_family", None)
-    leaves = jax.tree_util.tree_leaves(data)
-    plain_points = len(leaves) == 1 and leaves[0].ndim == 2
     n = _data_size(data)
     if n < est.k:
         return _invalid_result(est, n)
-    if not (family and plain_points and fs.supports(family, n, leaves[0].shape[1])):
+    if not (family and fs.supports_data(family, data)):
         return ransac_structured(est, data, key, num_hypotheses)
     total_groups = max(1, -(-num_hypotheses // n))
     count, params = fs.fused_sweep(
-        family, leaves[0], key, total_groups, est.delta,
+        family, data, key, total_groups, est.delta,
         groups_per_step=groups_per_step, vote_subsample=vote_subsample,
     )
-    best_params = jnp.asarray(params, leaves[0].dtype)
+    best_params = jnp.asarray(params, jax.tree_util.tree_leaves(data)[0].dtype)
     best_mask = est.agree(best_params, data)
     if vote_subsample:
         # Preemptive scoring ranks on a subsample; re-vote the winner on the

@@ -142,6 +142,70 @@ def test_fused_sweep_vote_subsample(interpret_pallas):
     assert float(res.inlier_fraction) > 0.6
 
 
+def _pivot_frames(key, n):
+    """Tracked-tool poses pivoting about a fixed point + 20% outliers."""
+    from lsqrrecipes_tpu.geometry import Frame, rotations
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_in = n - n // 5
+    t_d = jnp.asarray([10.0, -5.0, 2.0])
+    t_w = jnp.asarray([100.0, 50.0, -30.0])
+
+    def rand_rot(k, m):
+        q = jax.random.normal(k, (m, 4))
+        return rotations.matrix_from_quaternion(
+            q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        )
+
+    r_in = rand_rot(k1, n_in)
+    t_in = t_w - jnp.einsum("nij,j->ni", r_in, t_d)
+    t_in = t_in + 0.05 * jax.random.normal(k2, (n_in, 3))
+    r_out = rand_rot(k3, n // 5)
+    t_out = jax.random.uniform(k4, (n // 5, 3), minval=-200.0, maxval=200.0)
+    return Frame(
+        jnp.concatenate([r_in, r_out]), jnp.concatenate([t_in, t_out])
+    )
+
+
+def test_fused_sweep_pivot_matches_reference(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import PivotCalibrationEstimator
+
+    n, total_groups = 256, 6
+    frames = _pivot_frames(jax.random.PRNGKey(21), n)
+    est = PivotCalibrationEstimator(delta=1.0)
+
+    bc, bp = fs.fused_sweep("pivot", frames, jax.random.PRNGKey(7), total_groups, 1.0)
+
+    feats = fs.reference_samples("pivot", frames, jax.random.PRNGKey(7), total_groups)
+    from lsqrrecipes_tpu.geometry import Frame
+
+    sample_frames = Frame(
+        jnp.asarray(feats[:, :, 0:9], jnp.float64).reshape(-1, 3, 3, 3),
+        jnp.asarray(feats[:, :, 9:12], jnp.float64),
+    )
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(sample_frames)
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, frames)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), frames)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > (4 * n) // 5 - n // 10
+
+
+def test_engine_fused_driver_pivot(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import PivotCalibrationEstimator
+
+    n = 256
+    frames = _pivot_frames(jax.random.PRNGKey(22), n)
+    est = PivotCalibrationEstimator(delta=1.0)
+    result = ransac_fused_sweep(est, frames, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    # Refit recovers the planted calibration.
+    assert jnp.max(jnp.abs(result.params[:3] - jnp.asarray([10.0, -5.0, 2.0]))) < 0.1
+    assert jnp.max(jnp.abs(result.params[3:] - jnp.asarray([100.0, 50.0, -30.0]))) < 0.1
+
+
 def test_sweep_shift_pool_distinct():
     # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
     n = 256
