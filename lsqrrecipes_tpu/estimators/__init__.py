@@ -20,8 +20,16 @@ from lsqrrecipes_tpu.estimators.absolute_orientation import (
     AbsoluteOrientationEstimator,
 )
 from lsqrrecipes_tpu.estimators.pivot_calibration import PivotCalibrationEstimator
+from lsqrrecipes_tpu.estimators.us_calibration import (
+    CrosswireUSCalibrationEstimator,
+    PlanePhantomUSCalibrationEstimator,
+    PointerUSCalibrationEstimator,
+)
 
 __all__ = [
+    "CrosswireUSCalibrationEstimator",
+    "PointerUSCalibrationEstimator",
+    "PlanePhantomUSCalibrationEstimator",
     "Estimator",
     "register",
     "get",

@@ -36,8 +36,10 @@ def _horn_n_matrix(m):
 class AbsoluteOrientationEstimator(Estimator):
     k = 3
     nparams = 7
+    fused_family = "absolute_orientation"
 
     def __init__(self, delta: float):
+        self.delta = float(delta)
         self.delta_squared = float(delta) * float(delta)
 
     def minimal_fit(self, samples):

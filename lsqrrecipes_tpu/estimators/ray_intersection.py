@@ -20,12 +20,17 @@ class RayIntersectionEstimator(Estimator):
     k = 2
     nparams = 3
 
+    fused_family = "ray3d"
+
     def __init__(self, delta: float, min_angular_deviation: float):
+        self.delta = float(delta)
         self.delta_squared = float(delta) * float(delta)
         # ||n1 x n2||^2 < sin^2(minAngularDeviation) rejects near-parallel
         # pairs (``RayIntersectionParametersEstimator.cxx:9-16``; assumes
         # unit directions).
         self.cross_eps = math.sin(float(min_angular_deviation)) ** 2
+        # Fused-sweep parameter pack (delta, cross_eps).
+        self.fused_delta = (self.delta, self.cross_eps)
 
     def minimal_fit(self, samples: Ray3D):
         """Graphics-Gems two-ray midpoint with parallel / negative-parameter

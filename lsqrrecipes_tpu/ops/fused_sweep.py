@@ -48,7 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 _HASH_A = 1103515245   # odd => bijection of the shift-tuple index space
 _GUARD = 1e30          # pad-column sentinel: |e| >> 1 for any live hypothesis
-_PARAM_ROWS = 8        # output block sublanes: params + count, zero padded
+_PARAM_ROWS = 16       # output block sublanes: params + count, zero padded
 
 SPHERE_EPS = 1e-9      # SphereParametersEstimator.hxx:11 (f32 fast path)
 _NORM2_EPS = 1e-20     # f32 collinearity gate on squared cross-product norm
@@ -391,6 +391,226 @@ def _pivot_p(frames):
     return p
 
 
+@functools.cache
+def absolute_orientation_fit_vote(delta: float):
+    """Absolute orientation (rigid registration), fully fused (k = 3 pairs).
+
+    Minimal fit mirrors the reference's orthonormal-frame construction
+    (``AbsoluteOrientationParametersEstimator.cxx:14-101``): per point set,
+    x = normalize(p0 - mean), y = Gram-Schmidt of (p1 - mean), z = x cross y;
+    ``R = R2 R1^T``, ``t = mean2 - R mean1``; collinear triples (|z|^2 below
+    the f32 gate) are degenerate.  The vote
+    ``||R p1 + t - p2||^2 < delta^2`` (``:316-327``) runs as three direct
+    residual-component products at Precision.HIGHEST (cancellation-safe at
+    tracker magnitudes).  Slot feature rows (6): [p1 (3), p2 (3)]; kernel
+    param rows (12): [vec(R) 9, t 3] — the host converts to the estimator's
+    ``[q (4), t (3)]`` via quaternion extraction.
+    """
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p):
+        def pts(base):
+            return [[slot_row(base + c, j) for c in range(3)] for j in range(3)]
+
+        first = pts(0)    # first[j][c]
+        second = pts(3)
+
+        def build_frame(q):
+            mean = [(q[0][c] + q[1][c] + q[2][c]) / 3.0 for c in range(3)]
+            x = [q[0][c] - mean[c] for c in range(3)]
+            xn2 = x[0] * x[0] + x[1] * x[1] + x[2] * x[2]
+            xr = jax.lax.rsqrt(jnp.maximum(xn2, 1e-30))
+            x = [x[c] * xr for c in range(3)]
+            y = [q[1][c] - mean[c] for c in range(3)]
+            d = y[0] * x[0] + y[1] * x[1] + y[2] * x[2]
+            y = [y[c] - d * x[c] for c in range(3)]
+            yn2 = y[0] * y[0] + y[1] * y[1] + y[2] * y[2]
+            yr = jax.lax.rsqrt(jnp.maximum(yn2, 1e-30))
+            y = [y[c] * yr for c in range(3)]
+            z = [
+                x[1] * y[2] - x[2] * y[1],
+                x[2] * y[0] - x[0] * y[2],
+                x[0] * y[1] - x[1] * y[0],
+            ]
+            zn2 = z[0] * z[0] + z[1] * z[1] + z[2] * z[2]
+            deg = zn2 < 1e-12
+            return x, y, z, mean, deg
+
+        x1, y1, z1, m1, d1 = build_frame(first)
+        x2, y2, z2, m2, d2 = build_frame(second)
+        degenerate = jnp.logical_or(d1, d2)
+
+        # R = R2 R1^T with columns (x, y, z): R[a][b] = x2a x1b + y2a y1b + z2a z1b.
+        r = [
+            [
+                x2[a] * x1[b] + y2[a] * y1[b] + z2[a] * z1[b]
+                for b in range(3)
+            ]
+            for a in range(3)
+        ]
+        t = [
+            m2[a] - (r[a][0] * m1[0] + r[a][1] * m1[1] + r[a][2] * m1[2])
+            for a in range(3)
+        ]
+
+        # e_j = sum_k R[j,k] p1[k] + t_j - p2[j]; pad guard folds into e_0.
+        zeros = jnp.zeros_like(t[0])
+        ones = jnp.ones_like(t[0])
+        dims = (((0,), (0,)), ((), ()))
+
+        def component(j):
+            p1_rows = [r[j][k] for k in range(3)]
+            p2_rows = [-ones if a == j else zeros for a in range(3)]
+            guard = ones if j == 0 else zeros
+            a = jnp.concatenate(p1_rows + p2_rows + [t[j], guard], axis=0)
+            return jax.lax.dot_general(
+                p, a, dims,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        e0, e1, e2 = component(0), component(1), component(2)
+        dist2 = e0 * e0 + e1 * e1 + e2 * e2
+        agree = (dist2 < delta_sq).astype(jnp.float32)
+        counts = jnp.sum(agree, axis=0, keepdims=True)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
+        rows = [r[a][b] for a in range(3) for b in range(3)] + t
+        return counts, rows
+
+    return fit_vote
+
+
+def _absor_features(data):
+    """(first[n, 3], second[n, 3]) -> slot features [n, 6]."""
+    first, second = data
+    return jnp.concatenate(
+        [jnp.asarray(first, jnp.float32), jnp.asarray(second, jnp.float32)],
+        axis=1,
+    )
+
+
+def _absor_p(data):
+    """Vote feature rows [8, n_pad] = [p1 (3), p2 (3), 1, guard]."""
+    first, second = data
+    n = first.shape[0]
+    n_pad = -(-n // 128) * 128
+    p = jnp.zeros((8, n_pad), jnp.float32)
+    p = p.at[0:3, :n].set(jnp.asarray(first, jnp.float32).T)
+    p = p.at[3:6, :n].set(jnp.asarray(second, jnp.float32).T)
+    p = p.at[6, :n].set(1.0)
+    p = p.at[7, n:].set(jnp.float32(_GUARD))
+    return p
+
+
+def _absor_post(rows):
+    """Kernel rows [vec(R) 9, t 3] -> estimator params [q (4), t (3)]."""
+    from lsqrrecipes_tpu.geometry import rotations
+
+    r = jnp.asarray(rows[0:9], jnp.float64).reshape(3, 3)
+    q = rotations.quaternion_from_matrix(r)
+    return jnp.concatenate([q, jnp.asarray(rows[9:12], jnp.float64)])
+
+
+@functools.cache
+def ray3d_fit_vote(params: tuple):
+    """Ray intersection, fully fused (k = 2 rays; ``params = (delta,
+    cross_eps)``).
+
+    Minimal fit is the Graphics-Gems midpoint of the common perpendicular
+    with near-parallel and negative-ray-parameter rejection
+    (``RayIntersectionParametersEstimator.cxx:9-69``).  The vote mirrors
+    ``agree`` (``:164-179``): perpendicular foot with t >= 0, via
+    ``t = n.(x-p)``, ``dist^2 = |x-p|^2 - t^2 (2 - |n|^2)`` — three
+    Precision.HIGHEST products over feature rows
+    ``[p (3), n (3), n.p, 1, |n|^2, |p|^2]`` (the |p|^2 row doubles as the
+    1e30 pad guard).  Slot feature rows (6): [p (3), n (3)].
+    """
+    delta, cross_eps = params
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p):
+        pa = [slot_row(c, 0) for c in range(3)]
+        na = [slot_row(3 + c, 0) for c in range(3)]
+        pb = [slot_row(c, 1) for c in range(3)]
+        nb = [slot_row(3 + c, 1) for c in range(3)]
+
+        def cross(u, v):
+            return [
+                u[1] * v[2] - u[2] * v[1],
+                u[2] * v[0] - u[0] * v[2],
+                u[0] * v[1] - u[1] * v[0],
+            ]
+
+        def dot3(u, v):
+            return u[0] * v[0] + u[1] * v[1] + u[2] * v[2]
+
+        p21 = [pb[c] - pa[c] for c in range(3)]
+        cr = cross(na, nb)
+        denom = dot3(cr, cr)
+        nonparallel = denom >= cross_eps
+        safe = jnp.where(nonparallel, denom, 1.0)
+        t1 = dot3(cr, cross(p21, nb)) / safe
+        t2 = dot3(cr, cross(p21, na)) / safe
+        degenerate = jnp.logical_not(
+            jnp.logical_and(nonparallel, jnp.logical_and(t1 >= 0, t2 >= 0))
+        )
+        x = [0.5 * (pa[c] + t1 * na[c] + pb[c] + t2 * nb[c]) for c in range(3)]
+        xx = dot3(x, x)
+
+        zeros = jnp.zeros_like(xx)
+        ones = jnp.ones_like(xx)
+        dims = (((0,), (0,)), ((), ()))
+
+        def product(rows):
+            return jax.lax.dot_general(
+                p, jnp.concatenate(rows, axis=0), dims,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+
+        # P rows: [p (3), n (3), n.p, 1, |n|^2, |p|^2(pad 1e30)].
+        e_t = product(
+            [zeros] * 3 + x + [-ones, zeros, zeros, zeros]
+        )                                                   # n.x - n.p
+        e_d2 = product(
+            [-2.0 * x[0], -2.0 * x[1], -2.0 * x[2]]
+            + [zeros] * 3 + [zeros, xx, zeros, ones]
+        )                                                   # |x-p|^2 (+pad)
+        e_nn = product([zeros] * 8 + [ones, zeros])         # |n|^2 broadcast
+        dist2 = e_d2 - e_t * e_t * (2.0 - e_nn)
+        agree = jnp.logical_and(e_t >= 0.0, dist2 < delta_sq).astype(jnp.float32)
+        counts = jnp.sum(agree, axis=0, keepdims=True)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
+        return counts, x
+
+    return fit_vote
+
+
+def _ray_features(data):
+    """Ray3D batch -> slot features [n, 6] = [p, n]."""
+    return jnp.concatenate(
+        [jnp.asarray(data.p, jnp.float32), jnp.asarray(data.n, jnp.float32)],
+        axis=1,
+    )
+
+
+def _ray_p(data):
+    """Vote feature rows [10, n_pad] = [p(3), n(3), n.p, 1, |n|^2, |p|^2]."""
+    pts = jnp.asarray(data.p, jnp.float32)
+    dirs = jnp.asarray(data.n, jnp.float32)
+    n = pts.shape[0]
+    n_pad = -(-n // 128) * 128
+    p = jnp.zeros((10, n_pad), jnp.float32)
+    p = p.at[0:3, :n].set(pts.T)
+    p = p.at[3:6, :n].set(dirs.T)
+    p = p.at[6, :n].set(jnp.sum(dirs * pts, axis=1))
+    p = p.at[7, :n].set(1.0)
+    p = p.at[8, :n].set(jnp.sum(dirs * dirs, axis=1))
+    p = p.at[9, :].set(jnp.float32(_GUARD))
+    p = p.at[9, :n].set(jnp.sum(pts * pts, axis=1))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Generic sweep kernel
 # ---------------------------------------------------------------------------
@@ -504,7 +724,18 @@ _FAMILIES = {
                lambda d: pack_feature_rows(d, False), _point_check(2)),
     "pivot": (pivot_fit_vote, 3, 15, 6, _pivot_features, _pivot_p,
               lambda d: hasattr(d, "r") and hasattr(d, "t")),
+    "absolute_orientation": (
+        absolute_orientation_fit_vote, 3, 6, 12, _absor_features, _absor_p,
+        lambda d: isinstance(d, (tuple, list)) and len(d) == 2
+        and getattr(d[0], "ndim", 0) == 2 and d[0].shape[1] == 3,
+    ),
+    "ray3d": (ray3d_fit_vote, 2, 6, 3, _ray_features, _ray_p,
+              lambda d: hasattr(d, "p") and hasattr(d, "n")),
 }
+
+# Optional host-side conversion from kernel param rows to the estimator's
+# native layout (applied by fused_sweep on the winning column).
+_POSTPROCESS = {"absolute_orientation": _absor_post}
 
 
 def _data_n(data):
@@ -573,6 +804,7 @@ def fused_sweep(
     factory, k_slots, feat_rows, npr, features, pack_p, _check = _FAMILIES[family]
     n = _data_n(data)
     sweep_static(n, k_slots)  # validate early
+    delta_arg = tuple(delta) if isinstance(delta, (tuple, list)) else float(delta)
     if vote_subsample:
         assert vote_subsample % 128 == 0 and 0 < vote_subsample <= n
         key, sub = jax.random.split(key)
@@ -587,10 +819,14 @@ def fused_sweep(
         vote_cols = p.shape[1]
     coords = slot_planes(features(data), key, k_slots)
     best = _sweep_call(
-        factory(float(delta)), coords, p, k_slots, feat_rows, total_groups, n,
+        factory(delta_arg), coords, p, k_slots, feat_rows, total_groups, n,
         groups_per_step, vote_cols,
     )
-    return best[npr, 0].astype(jnp.int32), best[0:npr, 0]
+    params = best[0:npr, 0]
+    post = _POSTPROCESS.get(family)
+    if post is not None:
+        params = post(params)
+    return best[npr, 0].astype(jnp.int32), params
 
 
 def reference_samples(family: str, data, key, total_groups: int):

@@ -172,8 +172,9 @@ def ransac_fused_sweep(
     if not (family and fs.supports_data(family, data)):
         return ransac_structured(est, data, key, num_hypotheses)
     total_groups = max(1, -(-num_hypotheses // n))
+    delta_arg = getattr(est, "fused_delta", None) or est.delta
     count, params = fs.fused_sweep(
-        family, data, key, total_groups, est.delta,
+        family, data, key, total_groups, delta_arg,
         groups_per_step=groups_per_step, vote_subsample=vote_subsample,
     )
     best_params = jnp.asarray(params, jax.tree_util.tree_leaves(data)[0].dtype)

@@ -206,6 +206,124 @@ def test_engine_fused_driver_pivot(interpret_pallas):
     assert jnp.max(jnp.abs(result.params[3:] - jnp.asarray([100.0, 50.0, -30.0]))) < 0.1
 
 
+def _absor_pairs(key, n):
+    """Corresponding point pairs under a rigid transform + 20% outliers."""
+    from lsqrrecipes_tpu.geometry import rotations
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jnp.asarray([0.9, 0.2, -0.3, 0.1])
+    r = rotations.matrix_from_quaternion(q / jnp.linalg.norm(q))
+    t = jnp.asarray([12.0, -7.0, 30.0])
+    first = jax.random.uniform(k1, (n, 3), minval=-100.0, maxval=100.0)
+    second = first @ r.T + t + 0.1 * jax.random.normal(k2, (n, 3))
+    n_out = n // 5
+    bad = jax.random.uniform(k3, (n_out, 3), minval=-100.0, maxval=100.0)
+    second = second.at[-n_out:].set(bad)
+    return (first, second), (r, t)
+
+
+def test_fused_sweep_absolute_orientation(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import AbsoluteOrientationEstimator
+
+    n, total_groups = 256, 6
+    data, (r_true, t_true) = _absor_pairs(jax.random.PRNGKey(31), n)
+    est = AbsoluteOrientationEstimator(delta=1.0)
+
+    bc, bp = fs.fused_sweep(
+        "absolute_orientation", data, jax.random.PRNGKey(7), total_groups, 1.0
+    )
+    assert bp.shape == (7,)  # postprocessed to [q, t]
+
+    feats = fs.reference_samples(
+        "absolute_orientation", data, jax.random.PRNGKey(7), total_groups
+    )
+    samples = (
+        jnp.asarray(feats[:, :, 0:3], jnp.float64),
+        jnp.asarray(feats[:, :, 3:6], jnp.float64),
+    )
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(samples)
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), data)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > (4 * n) // 5 - n // 10
+
+
+def test_engine_fused_driver_absolute_orientation(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import AbsoluteOrientationEstimator
+    from lsqrrecipes_tpu.geometry import rotations
+
+    n = 256
+    data, (r_true, t_true) = _absor_pairs(jax.random.PRNGKey(32), n)
+    est = AbsoluteOrientationEstimator(delta=1.0)
+    result = ransac_fused_sweep(est, data, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    r_fit = rotations.matrix_from_quaternion(
+        result.params[:4] / jnp.linalg.norm(result.params[:4])
+    )
+    assert jnp.max(jnp.abs(r_fit - r_true)) < 0.01
+    assert jnp.max(jnp.abs(result.params[4:] - t_true)) < 0.2
+
+
+def _ray_bundle(key, n):
+    """Rays through a common point (with jittered origins) + 20% outliers."""
+    from lsqrrecipes_tpu.geometry import Ray3D
+
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    target = jnp.asarray([20.0, -10.0, 35.0])
+    n_in = n - n // 5
+    origins = jax.random.uniform(k1, (n_in, 3), minval=-100.0, maxval=100.0)
+    jittered = target + 0.1 * jax.random.normal(k2, (n_in, 3))
+    dirs = jittered - origins
+    dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+    o_out = jax.random.uniform(k3, (n // 5, 3), minval=-100.0, maxval=100.0)
+    d_out = jax.random.normal(k4, (n // 5, 3))
+    d_out = d_out / jnp.linalg.norm(d_out, axis=1, keepdims=True)
+    return Ray3D(
+        jnp.concatenate([origins, o_out]), jnp.concatenate([dirs, d_out])
+    )
+
+
+def test_fused_sweep_ray3d(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import RayIntersectionEstimator
+    from lsqrrecipes_tpu.geometry import Ray3D
+
+    n, total_groups = 256, 6
+    rays = _ray_bundle(jax.random.PRNGKey(41), n)
+    est = RayIntersectionEstimator(delta=1.0, min_angular_deviation=0.01)
+
+    bc, bp = fs.fused_sweep(
+        "ray3d", rays, jax.random.PRNGKey(7), total_groups, est.fused_delta
+    )
+
+    feats = fs.reference_samples("ray3d", rays, jax.random.PRNGKey(7), total_groups)
+    samples = Ray3D(
+        jnp.asarray(feats[:, :, 0:3], jnp.float64),
+        jnp.asarray(feats[:, :, 3:6], jnp.float64),
+    )
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(samples)
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, rays)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), rays)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > (4 * n) // 5 - n // 10
+
+
+def test_engine_fused_driver_ray3d(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import RayIntersectionEstimator
+
+    n = 256
+    rays = _ray_bundle(jax.random.PRNGKey(42), n)
+    est = RayIntersectionEstimator(delta=1.0, min_angular_deviation=0.01)
+    result = ransac_fused_sweep(est, rays, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    assert jnp.max(jnp.abs(result.params - jnp.asarray([20.0, -10.0, 35.0]))) < 0.2
+
+
 def test_sweep_shift_pool_distinct():
     # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
     n = 256
