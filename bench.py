@@ -25,10 +25,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
-def build_and_run_cpp_baseline(n_points, hypotheses=200_000):
-    """Compile (cached) and run the serial C++ baseline; returns hyp/s."""
-    src = os.path.join(REPO, "native", "ransac_baseline.cpp")
-    binary = os.path.join(REPO, "native", "ransac_baseline")
+def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseline"):
+    """Compile (cached) and run a serial C++ baseline; returns hyp/s."""
+    src = os.path.join(REPO, "native", name + ".cpp")
+    binary = os.path.join(REPO, "native", name)
     if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
         subprocess.run(
             ["g++", "-O3", "-march=native", "-o", binary, src],
@@ -41,6 +41,82 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000):
         text=True,
     )
     return float(json.loads(out.stdout)["hyp_per_s"])
+
+
+def bench_pivot(args):
+    """Pivot-calibration RANSAC throughput: fused sweep vs serial C++.
+
+    The C++ baseline (native/pivot_baseline.cpp) uses the same closed-form
+    Schur minimal fit and the reference's early-exit vote loop — i.e. it is
+    deliberately favored vs the reference's 9x6 SVD, so the reported ratio
+    is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.geometry import Frame, rotations
+    from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+    cpp_hps = build_and_run_cpp_baseline(
+        args.points, args.baseline_hypotheses // 2, name="pivot_baseline"
+    )
+
+    n = args.points
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    n_in = n * 4 // 5
+    t_d = jnp.asarray([10.0, -5.0, 2.0])
+    t_w = jnp.asarray([100.0, 50.0, -30.0])
+
+    def rot(k, m):
+        q = jax.random.normal(k, (m, 4))
+        return rotations.matrix_from_quaternion(
+            q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        )
+
+    r_in = rot(k1, n_in)
+    t_in = t_w - jnp.einsum("nij,j->ni", r_in, t_d)
+    t_in = t_in + 0.05 * jax.random.normal(k2, (n_in, 3))
+    r_out = rot(k3, n - n_in)
+    t_out = jax.random.uniform(k4, (n - n_in, 3), minval=-200.0, maxval=200.0)
+    frames = Frame(jnp.concatenate([r_in, r_out]), jnp.concatenate([t_in, t_out]))
+
+    total_groups = max(1, (args.hypotheses // n)) * args.steps // 2
+    reps = 8
+
+    @jax.jit
+    def sweeps(seed0):
+        def body(carry, i):
+            count, _ = fs.fused_sweep(
+                "pivot", frames,
+                jax.random.fold_in(jax.random.PRNGKey(0), seed0 + i),
+                total_groups, 1.0,
+            )
+            return carry, count
+        _, counts = jax.lax.scan(body, 0, jnp.arange(reps))
+        return counts
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        counts = np.array(sweeps(100 + reps * trial))
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > 0).all(), "pivot timing sweeps found no inliers"
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = total_groups * n / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "pivot_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
 
 
 def bench_lm(args):
@@ -140,7 +216,7 @@ def bench_lm(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm"])
+    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm", "pivot"])
     parser.add_argument(
         "--path",
         default="fused_sweep",
@@ -157,6 +233,9 @@ def main():
 
     if args.metric == "lm":
         bench_lm(args)
+        return
+    if args.metric == "pivot":
+        bench_pivot(args)
         return
 
     cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)

@@ -101,6 +101,40 @@ def pack_feature_rows(points, with_pp: bool):
     return p
 
 
+def _dot_f32x3(p, a):
+    """~f32-accurate MXU product in 3 bf16 passes.
+
+    Mosaic's DEFAULT f32 dot is ONE bf16xbf16 pass (4e-3 relative — too
+    coarse for residual votes at tracker magnitudes) and HIGHEST is six;
+    splitting each operand into bf16 high + low parts and dropping the
+    lo*lo term gives ~2^-22 relative in three passes (Precision.HIGH is
+    not lowered by Mosaic).
+    """
+    dims = (((0,), (0,)), ((), ()))
+    p_hi = p.astype(jnp.bfloat16).astype(jnp.float32)
+    p_lo = p - p_hi
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+
+    def d(x, y):
+        return jax.lax.dot_general(x, y, dims, preferred_element_type=jnp.float32)
+
+    return d(p_hi, a_hi) + d(p_hi, a_lo) + d(p_lo, a_hi)
+
+
+def _chunked_counts(p, body, chunk: int = 512):
+    """Accumulate ``sum(body(p_chunk), axis=0)`` over point-column chunks.
+
+    Component votes keep several ``[n_pad, n_h]`` products live at once;
+    at n=1024 that blows the 16 MB scoped-VMEM limit, so the vote walks the
+    point axis in 512-column chunks (chunk must be a multiple of 128)."""
+    total = None
+    for c0 in range(0, p.shape[1], chunk):
+        cnt = jnp.sum(body(p[:, c0 : c0 + chunk]), axis=0, keepdims=True)
+        total = cnt if total is None else total + cnt
+    return total
+
+
 def _band_counts(a_rows, p):
     """``counts[1, n_h]`` for the affine band test ``|P^T A| < 1``."""
     a = jnp.concatenate(a_rows, axis=0)
@@ -333,33 +367,34 @@ def pivot_fit_vote(delta: float):
         # three K=17 products.  The single-product quadratic expansion
         # (|t|^2 - 2 t_W.t + ...) cancels ~1e4-magnitude terms down to
         # ~delta^2 and drowns in the MXU's default bf16-multiply passes;
-        # components stay O(residual) so f32 (Precision.HIGHEST) is exact
+        # components stay O(residual) so the 3-pass split product is exact
         # enough.  The pad guard (|t|^2 = 1e30 column) folds into e_0.
         tw = [tw0, tw1, tw2]
         zeros = jnp.zeros_like(tw0)
         ones = jnp.ones_like(tw0)
         dims = (((0,), (0,)), ((), ()))
 
-        def component(j):
+        def a_matrix(j):
             t_rows = [ones if a == j else zeros for a in range(3)]
             rt_rows = [zeros, zeros, zeros]
             r_rows = [
                 td[k] if jj == j else zeros for jj in range(3) for k in range(3)
             ]
             guard = ones if j == 0 else zeros
-            a = jnp.concatenate(
+            return jnp.concatenate(
                 t_rows + rt_rows + r_rows + [-tw[j], guard], axis=0
             )
-            return jax.lax.dot_general(
-                p, a, dims,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
 
-        e0, e1, e2 = component(0), component(1), component(2)
-        dist2 = e0 * e0 + e1 * e1 + e2 * e2
-        agree = (dist2 < delta_sq).astype(jnp.float32)
-        counts = jnp.sum(agree, axis=0, keepdims=True)
+        a_mats = [a_matrix(j) for j in range(3)]
+
+        def body(pc):
+            dist2 = None
+            for a in a_mats:
+                e = _dot_f32x3(pc, a)
+                dist2 = e * e if dist2 is None else dist2 + e * e
+            return (dist2 < delta_sq).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
         counts = counts * jnp.where(degenerate, 0.0, 1.0)
         return counts, [td[0], td[1], td[2], tw0, tw1, tw2]
 
@@ -401,7 +436,7 @@ def absolute_orientation_fit_vote(delta: float):
     ``R = R2 R1^T``, ``t = mean2 - R mean1``; collinear triples (|z|^2 below
     the f32 gate) are degenerate.  The vote
     ``||R p1 + t - p2||^2 < delta^2`` (``:316-327``) runs as three direct
-    residual-component products at Precision.HIGHEST (cancellation-safe at
+    residual-component products via the 3-pass bf16-split dot (safe at
     tracker magnitudes).  Slot feature rows (6): [p1 (3), p2 (3)]; kernel
     param rows (12): [vec(R) 9, t 3] — the host converts to the estimator's
     ``[q (4), t (3)]`` via quaternion extraction.
@@ -458,21 +493,22 @@ def absolute_orientation_fit_vote(delta: float):
         ones = jnp.ones_like(t[0])
         dims = (((0,), (0,)), ((), ()))
 
-        def component(j):
+        def a_matrix(j):
             p1_rows = [r[j][k] for k in range(3)]
             p2_rows = [-ones if a == j else zeros for a in range(3)]
             guard = ones if j == 0 else zeros
-            a = jnp.concatenate(p1_rows + p2_rows + [t[j], guard], axis=0)
-            return jax.lax.dot_general(
-                p, a, dims,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
+            return jnp.concatenate(p1_rows + p2_rows + [t[j], guard], axis=0)
 
-        e0, e1, e2 = component(0), component(1), component(2)
-        dist2 = e0 * e0 + e1 * e1 + e2 * e2
-        agree = (dist2 < delta_sq).astype(jnp.float32)
-        counts = jnp.sum(agree, axis=0, keepdims=True)
+        a_mats = [a_matrix(j) for j in range(3)]
+
+        def body(pc):
+            dist2 = None
+            for a in a_mats:
+                e = _dot_f32x3(pc, a)
+                dist2 = e * e if dist2 is None else dist2 + e * e
+            return (dist2 < delta_sq).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
         counts = counts * jnp.where(degenerate, 0.0, 1.0)
         rows = [r[a][b] for a in range(3) for b in range(3)] + t
         return counts, rows
@@ -521,7 +557,7 @@ def ray3d_fit_vote(params: tuple):
     (``RayIntersectionParametersEstimator.cxx:9-69``).  The vote mirrors
     ``agree`` (``:164-179``): perpendicular foot with t >= 0, via
     ``t = n.(x-p)``, ``dist^2 = |x-p|^2 - t^2 (2 - |n|^2)`` — three
-    Precision.HIGHEST products over feature rows
+    3-pass split products over feature rows
     ``[p (3), n (3), n.p, 1, |n|^2, |p|^2]`` (the |p|^2 row doubles as the
     1e30 pad guard).  Slot feature rows (6): [p (3), n (3)].
     """
@@ -561,25 +597,25 @@ def ray3d_fit_vote(params: tuple):
         ones = jnp.ones_like(xx)
         dims = (((0,), (0,)), ((), ()))
 
-        def product(rows):
-            return jax.lax.dot_general(
-                p, jnp.concatenate(rows, axis=0), dims,
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-
         # P rows: [p (3), n (3), n.p, 1, |n|^2, |p|^2(pad 1e30)].
-        e_t = product(
-            [zeros] * 3 + x + [-ones, zeros, zeros, zeros]
+        a_t = jnp.concatenate(
+            [zeros] * 3 + x + [-ones, zeros, zeros, zeros], axis=0
         )                                                   # n.x - n.p
-        e_d2 = product(
+        a_d2 = jnp.concatenate(
             [-2.0 * x[0], -2.0 * x[1], -2.0 * x[2]]
-            + [zeros] * 3 + [zeros, xx, zeros, ones]
+            + [zeros] * 3 + [zeros, xx, zeros, ones], axis=0
         )                                                   # |x-p|^2 (+pad)
-        e_nn = product([zeros] * 8 + [ones, zeros])         # |n|^2 broadcast
-        dist2 = e_d2 - e_t * e_t * (2.0 - e_nn)
-        agree = jnp.logical_and(e_t >= 0.0, dist2 < delta_sq).astype(jnp.float32)
-        counts = jnp.sum(agree, axis=0, keepdims=True)
+        a_nn = jnp.concatenate([zeros] * 8 + [ones, zeros], axis=0)
+
+        def body(pc):
+            e_t = _dot_f32x3(pc, a_t)
+            e_nn = _dot_f32x3(pc, a_nn)
+            q = e_t * e_t * (2.0 - e_nn)
+            front = (e_t >= 0.0).astype(jnp.float32)
+            e_d2 = _dot_f32x3(pc, a_d2)
+            return front * ((e_d2 - q) < delta_sq).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
         counts = counts * jnp.where(degenerate, 0.0, 1.0)
         return counts, x
 
