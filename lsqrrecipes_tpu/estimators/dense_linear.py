@@ -20,6 +20,9 @@ class DenseLinearSystemEstimator(Estimator):
         self.n = int(n)
         self.k = self.n
         self.nparams = self.n
+        # The 6-unknown case (the reference's example workload) has a fully
+        # fused Pallas sweep; other sizes use the generic engine.
+        self.fused_family = "dense_linear6" if self.n == 6 else None
 
     def minimal_fit(self, samples):
         """n rows -> exact solve via SVD pseudo-inverse with rank check

@@ -647,6 +647,98 @@ def _ray_p(data):
     return p
 
 
+@functools.cache
+def dense_linear6_fit_vote(delta: float):
+    """Dense 6-unknown linear system ``A x = b``, fully fused (k = 6 rows).
+
+    The reference solves the square minimal system by SVD pseudo-inverse
+    with a rank gate (``DenseLinearEquationSystemParametersEstimator.hxx:
+    16-49``); here the equivalent normal equations ``(A^T A) x = A^T b``
+    are solved by a fully unrolled 6x6 Cholesky on lane rows (SPD for
+    nonsingular A; tiny pivots flag the degenerate rank<6 case the
+    reference's gate rejects — an f32 fast-path deviation, the f64 engine
+    path keeps exact reference semantics).  The vote ``|a^T x - b| < delta``
+    (``:111-119``) is one K=9 band product via the bf16-split dot.
+    Slot feature rows (7): ``[a_0..a_5, b]``.
+    """
+    inv_delta = 1.0 / float(delta)
+    eps = 1e-10
+
+    def fit_vote(slot_row, p):
+        rows = [[slot_row(c, j) for c in range(7)] for j in range(6)]
+
+        # Normal equations over the 6 sampled rows.
+        m = [[None] * 6 for _ in range(6)]
+        v = [None] * 6
+        for i in range(6):
+            for jj in range(i, 6):
+                m[i][jj] = sum(rows[s][i] * rows[s][jj] for s in range(6))
+            v[i] = sum(rows[s][i] * rows[s][6] for s in range(6))
+
+        # Unrolled Cholesky M = L L^T with degenerate-pivot tracking.
+        l = [[None] * 6 for _ in range(6)]
+        bad = None
+        for i in range(6):
+            s = m[i][i]
+            for k in range(i):
+                s = s - l[i][k] * l[i][k]
+            pivot_bad = s < eps
+            bad = pivot_bad if bad is None else jnp.logical_or(bad, pivot_bad)
+            l[i][i] = jnp.sqrt(jnp.maximum(s, eps))
+            for jj in range(i + 1, 6):
+                t = m[i][jj]
+                for k in range(i):
+                    t = t - l[jj][k] * l[i][k]
+                l[jj][i] = t / l[i][i]
+        degenerate = bad
+
+        # Forward then back substitution.
+        y = [None] * 6
+        for i in range(6):
+            t = v[i]
+            for k in range(i):
+                t = t - l[i][k] * y[k]
+            y[i] = t / l[i][i]
+        x = [None] * 6
+        for i in reversed(range(6)):
+            t = y[i]
+            for k in range(i + 1, 6):
+                t = t - l[k][i] * x[k]
+            x[i] = t / l[i][i]
+
+        # Band |a^T x - b| < delta over P rows [a(6), b, 1, guard].
+        w = jnp.where(degenerate, 0.0, inv_delta)
+        o = jnp.where(degenerate, 2.0, 0.0)
+        a_mat = jnp.concatenate(
+            [w * x[c] for c in range(6)] + [-w, o, w], axis=0
+        )
+
+        def body(pc):
+            e = _dot_f32x3(pc, a_mat)
+            return (jnp.abs(e) < 1.0).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
+        return counts, x
+
+    return fit_vote
+
+
+def _dense6_features(data):
+    return jnp.asarray(data, jnp.float32)
+
+
+def _dense6_p(data):
+    """Vote feature rows [9, n_pad] = [a(6), b, 1, guard]."""
+    rows = jnp.asarray(data, jnp.float32)
+    n = rows.shape[0]
+    n_pad = -(-n // 128) * 128
+    p = jnp.zeros((9, n_pad), jnp.float32)
+    p = p.at[0:7, :n].set(rows.T)
+    p = p.at[7, :n].set(1.0)
+    p = p.at[8, n:].set(jnp.float32(_GUARD))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Generic sweep kernel
 # ---------------------------------------------------------------------------
@@ -767,6 +859,8 @@ _FAMILIES = {
     ),
     "ray3d": (ray3d_fit_vote, 2, 6, 3, _ray_features, _ray_p,
               lambda d: hasattr(d, "p") and hasattr(d, "n")),
+    "dense_linear6": (dense_linear6_fit_vote, 6, 7, 6, _dense6_features,
+                      _dense6_p, _point_check(7)),
 }
 
 # Optional host-side conversion from kernel param rows to the estimator's

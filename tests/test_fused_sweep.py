@@ -324,6 +324,49 @@ def test_engine_fused_driver_ray3d(interpret_pallas):
     assert jnp.max(jnp.abs(result.params - jnp.asarray([20.0, -10.0, 35.0]))) < 0.2
 
 
+def _dense_rows(key, n):
+    """Augmented rows [a | b] with a planted 6-vector solution + outliers."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    x_true = jnp.asarray([1.5, -2.0, 0.5, 3.0, -1.0, 2.5])
+    a = jax.random.uniform(k1, (n, 6), minval=-10.0, maxval=10.0)
+    b = a @ x_true + 0.05 * jax.random.normal(k2, (n,))
+    b = b.at[-(n // 5):].add(
+        jax.random.uniform(k3, (n // 5,), minval=5.0, maxval=50.0)
+    )
+    return jnp.concatenate([a, b[:, None]], axis=1), x_true
+
+
+def test_fused_sweep_dense_linear(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import DenseLinearSystemEstimator
+
+    n, total_groups = 256, 6
+    rows, x_true = _dense_rows(jax.random.PRNGKey(51), n)
+    est = DenseLinearSystemEstimator(delta=1.0, n=6)
+
+    bc, bp = fs.fused_sweep("dense_linear6", rows, jax.random.PRNGKey(7), total_groups, 1.0)
+
+    samples = fs.reference_samples("dense_linear6", rows, jax.random.PRNGKey(7), total_groups)
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(jnp.asarray(samples, jnp.float64))
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, rows)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), rows)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > (4 * n) // 5 - n // 10
+
+
+def test_engine_fused_driver_dense_linear(interpret_pallas):
+    from lsqrrecipes_tpu.estimators import DenseLinearSystemEstimator
+
+    n = 256
+    rows, x_true = _dense_rows(jax.random.PRNGKey(52), n)
+    est = DenseLinearSystemEstimator(delta=1.0, n=6)
+    result = ransac_fused_sweep(est, rows, jax.random.PRNGKey(1), num_hypotheses=2048)
+    assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    assert jnp.max(jnp.abs(result.params - x_true)) < 0.05
+
+
 def test_sweep_shift_pool_distinct():
     # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
     n = 256
