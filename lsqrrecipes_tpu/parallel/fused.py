@@ -35,7 +35,7 @@ from lsqrrecipes_tpu.parallel.sharded import shard_map
 
 def sharded_fused_sweep(
     family: str,
-    points,
+    data,
     key,
     total_groups: int,
     delta: float,
@@ -45,6 +45,7 @@ def sharded_fused_sweep(
 ):
     """Whole-sweep fused RANSAC over a mesh.
 
+    ``data`` is the family's native data (point array, Frame batch, ...).
     ``total_groups`` is the GLOBAL budget; each of the H shards runs
     ``ceil(total_groups / H)`` groups with an independent key.  Returns
     ``(best_count int32[], best_params f32[n_param_rows])`` — replicated.
@@ -53,11 +54,11 @@ def sharded_fused_sweep(
     h = mesh.shape[hypotheses_axis]
     groups_per_shard = -(-total_groups // h)
 
-    def shard_fn(pts):
+    def shard_fn(shard_data):
         rank = jax.lax.axis_index(hypotheses_axis)
         shard_key = jax.random.fold_in(key, rank)
         count, params = fs.fused_sweep(
-            family, pts, shard_key, groups_per_shard, delta,
+            family, shard_data, shard_key, groups_per_shard, delta,
             vote_subsample=vote_subsample,
         )
         all_counts = jax.lax.all_gather(count, hypotheses_axis)
@@ -67,7 +68,11 @@ def sharded_fused_sweep(
         best_params = jax.lax.psum(contrib, hypotheses_axis)
         return best, best_params
 
+    in_specs = (jax.tree_util.tree_map(lambda _: P(), data),)
     mapped = shard_map(
-        shard_fn, mesh=mesh, in_specs=(P(),), out_specs=(P(), P())
+        shard_fn, mesh=mesh, in_specs=in_specs, out_specs=(P(), P())
     )
-    return jax.jit(mapped)(jnp.asarray(points, jnp.float32))
+    data32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32), data
+    )
+    return jax.jit(mapped)(data32)

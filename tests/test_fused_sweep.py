@@ -423,6 +423,22 @@ def test_sharded_fused_sweep(interpret_pallas):
     assert jnp.allclose(params, per_shard[winner][1])
 
 
+def test_sharded_fused_sweep_pivot(interpret_pallas):
+    # Non-point data (Frame pytree) through the mesh-sharded fused sweep.
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lsqrrecipes_tpu.parallel import sharded_fused_sweep
+
+    n, total_groups, h = 256, 8, 4
+    frames = _pivot_frames(jax.random.PRNGKey(23), n)
+    key = jax.random.PRNGKey(9)
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:h]), ("hypotheses",))
+    count, params = sharded_fused_sweep("pivot", frames, key, total_groups, 1.0, mesh=mesh)
+    assert int(count) > (4 * n) // 5 - n // 10
+    assert jnp.max(jnp.abs(params[:3] - jnp.asarray([10.0, -5.0, 2.0]))) < 0.5
+
+
 def test_engine_fused_driver_fallback():
     # Non-128-multiple n falls back to the structured engine.
     pts = _line2d_cloud(jax.random.PRNGKey(0), 200)
