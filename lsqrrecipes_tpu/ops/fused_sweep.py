@@ -64,6 +64,23 @@ def sweep_static(n: int, k_slots: int):
     return m, b, (1 << (k_slots * b)) - 1
 
 
+def fit_size(n: int, k_slots: int) -> int:
+    """Smallest sampling width ``128 * 2^j >= n`` whose shift hash fits.
+
+    Data sizes that are not ``128 * 2^k`` are handled by REPLICATING
+    observations up to ``fit_size`` for the sampling planes only (points
+    duplicated into a minimal sample self-mask through the degeneracy
+    gates; the slight sampling-frequency bias of the duplicated prefix is
+    a documented deviation) — the VOTE always runs against the original
+    observations with 1e30 guard padding, so inlier counts stay exact.
+    """
+    nf = 128
+    while nf < n:
+        nf *= 2
+    sweep_static(nf, k_slots)  # raises if the shift hash cannot cover nf
+    return nf
+
+
 def shift_units(g, j, b, m, mask):
     """Slot-j window index (in 128-lane units) for group g — int32-safe."""
     return (((g * _HASH_A) & mask) >> (b * j)) & (m - 1)
@@ -82,6 +99,15 @@ def slot_planes(points, key, k_slots: int):
         ]
         rows.append(jnp.concatenate(planes + [planes[0]], axis=1))
     return jnp.concatenate(rows, axis=0)
+
+
+def _pad_features(feats, n_fit: int):
+    """Tile a ``[n, F]`` feature matrix up to ``[n_fit, F]`` by repetition."""
+    n = feats.shape[0]
+    if n == n_fit:
+        return feats
+    reps = -(-n_fit // n)
+    return jnp.concatenate([feats] * reps, axis=0)[:n_fit]
 
 
 def pack_feature_rows(points, with_pp: bool):
@@ -880,7 +906,7 @@ def supports_data(family: str, data) -> bool:
     try:
         if not check(data):
             return False
-        sweep_static(_data_n(data), k_slots)
+        fit_size(_data_n(data), k_slots)
     except AssertionError:
         return False
     return True
@@ -933,7 +959,7 @@ def fused_sweep(
     """
     factory, k_slots, feat_rows, npr, features, pack_p, _check = _FAMILIES[family]
     n = _data_n(data)
-    sweep_static(n, k_slots)  # validate early
+    n_fit = fit_size(n, k_slots)  # validates early
     delta_arg = tuple(delta) if isinstance(delta, (tuple, list)) else float(delta)
     if vote_subsample:
         assert vote_subsample % 128 == 0 and 0 < vote_subsample <= n
@@ -947,9 +973,9 @@ def fused_sweep(
     else:
         p = pack_p(data)
         vote_cols = p.shape[1]
-    coords = slot_planes(features(data), key, k_slots)
+    coords = slot_planes(_pad_features(features(data), n_fit), key, k_slots)
     best = _sweep_call(
-        factory(delta_arg), coords, p, k_slots, feat_rows, total_groups, n,
+        factory(delta_arg), coords, p, k_slots, feat_rows, total_groups, n_fit,
         groups_per_step, vote_cols,
     )
     params = best[0:npr, 0]
@@ -965,9 +991,9 @@ def reference_samples(family: str, data, key, total_groups: int):
     families this is the engine's ``[B, k, d]`` sample layout; pivot rows
     are ``[vec(R) 9, t 3, R^T t 3]``)."""
     _, k_slots, feat_rows, _, features, _, _ = _FAMILIES[family]
-    n = _data_n(data)
+    n = fit_size(_data_n(data), k_slots)
     m, b, mask = sweep_static(n, k_slots)
-    planes = slot_planes(features(data), key, k_slots)
+    planes = slot_planes(_pad_features(features(data), n), key, k_slots)
     slots = []
     for j in range(k_slots):
         segs = []

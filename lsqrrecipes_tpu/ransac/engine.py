@@ -160,8 +160,10 @@ def ransac_fused_sweep(
     in-kernel best accumulation (:mod:`lsqrrecipes_tpu.ops.fused_sweep`).
 
     Available when the estimator declares a ``fused_family`` (3D sphere /
-    plane / line, 2D line) and the data is a plain ``[n, d]`` point array
-    with ``n = 128 * 2^k``; falls back to :func:`ransac_structured`.
+    plane / line, 2D line, ray intersection, absolute orientation, pivot
+    calibration, 6-unknown dense linear system) and the data has
+    ``n = 128 * 2^k`` observations; silently falls back to
+    :func:`ransac_structured` otherwise.
     """
     from lsqrrecipes_tpu.ops import fused_sweep as fs
 

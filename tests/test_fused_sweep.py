@@ -439,9 +439,29 @@ def test_sharded_fused_sweep_pivot(interpret_pallas):
     assert jnp.max(jnp.abs(params[:3] - jnp.asarray([10.0, -5.0, 2.0]))) < 0.5
 
 
-def test_engine_fused_driver_fallback():
-    # Non-128-multiple n falls back to the structured engine.
+def test_engine_fused_driver_nonpow2(interpret_pallas):
+    # Non-128-multiple n runs through the fused path via sampling-plane
+    # replication (votes stay exact over the true observations).
     pts = _line2d_cloud(jax.random.PRNGKey(0), 200)
     est = Line2DEstimator(delta=1.0)
+    assert fs.supports_data("line2d", pts)
     result = ransac_fused_sweep(est, pts, jax.random.PRNGKey(1), num_hypotheses=512)
     assert bool(result.valid)
+    assert float(result.inlier_fraction) > 0.6
+    assert int(jnp.sum(result.consensus)) == int(result.best_count)
+
+
+def test_fused_sweep_nonpow2_parity(interpret_pallas):
+    # Kernel counts at n=300 match the jnp reconstruction of the padded
+    # hypothesis set, voted on the TRUE observations only.
+    n, total_groups = 300, 6
+    pts = _sphere_cloud(jax.random.PRNGKey(6), n)
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+    bc, bp = fs.fused_sweep("sphere3d", pts, jax.random.PRNGKey(7), total_groups, 1.0)
+    samples = fs.reference_samples("sphere3d", pts, jax.random.PRNGKey(7), total_groups)
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(jnp.asarray(samples, jnp.float64))
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, pts)))(p_ref)
+    cref = int(jnp.max(jnp.where(v_ref, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, pts.dtype), pts)))
+    assert abs(achieved - int(bc)) <= 1
