@@ -119,6 +119,71 @@ def bench_pivot(args):
     )
 
 
+def bench_dense(args):
+    """Dense-linear-system (6 unknowns) RANSAC throughput vs serial C++.
+
+    The C++ baseline (native/dense_baseline.cpp) solves each 6x6 minimal
+    system via normal-equation Cholesky with early-exit votes — favored vs
+    the reference's SVD pseudo-inverse, so the ratio is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+    cpp_hps = build_and_run_cpp_baseline(
+        args.points, args.baseline_hypotheses // 2, name="dense_baseline"
+    )
+
+    n = args.points
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    x_true = jnp.asarray([1.5, -2.0, 0.5, 3.0, -1.0, 2.5])
+    a = jax.random.uniform(k1, (n, 6), minval=-10.0, maxval=10.0)
+    b = a @ x_true + 0.05 * jax.random.normal(k2, (n,))
+    b = b.at[-(n // 5):].add(
+        jax.random.uniform(k3, (n // 5,), minval=5.0, maxval=50.0)
+    )
+    rows = jnp.concatenate([a, b[:, None]], axis=1)
+
+    total_groups = max(1, (args.hypotheses // n)) * args.steps // 2
+    reps = 8
+
+    @jax.jit
+    def sweeps(seed0):
+        def body(carry, i):
+            count, _ = fs.fused_sweep(
+                "dense_linear6", rows,
+                jax.random.fold_in(jax.random.PRNGKey(0), seed0 + i),
+                total_groups, 1.0,
+            )
+            return carry, count
+        _, counts = jax.lax.scan(body, 0, jnp.arange(reps))
+        return counts
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        counts = np.array(sweeps(100 + reps * trial))
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > 0).all(), "dense timing sweeps found no inliers"
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = total_groups * n / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "dense_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
 def bench_lm(args):
     """Secondary metric: vmapped geometric-sphere LM iterations/second.
 
@@ -216,7 +281,7 @@ def bench_lm(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm", "pivot"])
+    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm", "pivot", "dense"])
     parser.add_argument(
         "--path",
         default="fused_sweep",
@@ -236,6 +301,9 @@ def main():
         return
     if args.metric == "pivot":
         bench_pivot(args)
+        return
+    if args.metric == "dense":
+        bench_dense(args)
         return
 
     cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)
