@@ -11,7 +11,8 @@ target is >100x at one host.
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Usage: python bench.py [--dtype f32|f64] [--hypotheses B] [--steps K]
+Usage: python bench.py [--metric ransac|lm|pivot|dense] [--path fused_sweep|scan]
+       [--points N] [--hypotheses B] [--steps K]
 """
 
 import argparse

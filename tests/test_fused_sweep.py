@@ -367,6 +367,43 @@ def test_engine_fused_driver_dense_linear(interpret_pallas):
     assert jnp.max(jnp.abs(result.params - x_true)) < 0.05
 
 
+def test_dot_f32x3_accuracy():
+    # The 3-pass bf16-split product must be ~f32-accurate at tracker
+    # magnitudes where a single bf16 pass (4e-3 relative) fails.
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    p = jax.random.uniform(k1, (16, 256), jnp.float32, -250.0, 250.0)
+    a = jax.random.uniform(k2, (16, 128), jnp.float32, -2.0, 2.0)
+    got = fs._dot_f32x3(p, a)
+    exact = jnp.einsum(
+        "kp,kh->ph", jnp.asarray(p, jnp.float64), jnp.asarray(a, jnp.float64)
+    )
+    # The dropped lo*lo term leaves a tiny ABSOLUTE residue (~sum of
+    # |p_lo|*|a_lo| ~ 0.03 at these magnitudes) — what matters for the
+    # votes is that it is far below delta and far below one bf16 pass.
+    err = float(jnp.max(jnp.abs(got - exact)))
+    assert err < 0.1
+    coarse = jnp.einsum(
+        "kp,kh->ph",
+        p.astype(jnp.bfloat16).astype(jnp.float32),
+        a.astype(jnp.bfloat16).astype(jnp.float32),
+    )
+    err_coarse = float(jnp.max(jnp.abs(coarse - exact)))
+    assert err_coarse > 10 * err
+
+
+def test_fit_size_and_padding():
+    assert fs.fit_size(128, 4) == 128
+    assert fs.fit_size(129, 4) == 256
+    assert fs.fit_size(481, 3) == 512
+    assert fs.fit_size(1024, 6) == 1024
+    feats = jnp.arange(10.0).reshape(5, 2)
+    padded = fs._pad_features(feats, 8)
+    assert padded.shape == (8, 2)
+    assert jnp.array_equal(padded[:5], feats)
+    assert jnp.array_equal(padded[5:8], feats[:3])
+
+
 def test_sweep_shift_pool_distinct():
     # All k-slot shift tuples distinct while total_groups <= (4n/128)^k.
     n = 256
