@@ -30,7 +30,8 @@ from lsqrrecipes_tpu.geometry import Frame, rotations
 from lsqrrecipes_tpu.ops.vote import pallas_available
 from lsqrrecipes_tpu.ransac import ransac_fused_sweep
 
-N = 1024  # fused sweeps need n = 128 * 2^k
+N = 1024  # any n works (sampling planes replicate up to 128 * 2^k); a
+          # power-of-two width avoids the replication sampling bias entirely
 
 
 def sphere_cloud(key):

@@ -183,36 +183,36 @@ def sphere3d_fit_vote(delta: float):
     shell band ``(r-delta)^2 <= dist^2 < (r+delta)^2``; needs ``with_pp``."""
 
     def fit_vote(slot_row, p):
-        sx = [slot_row(0, j) for j in range(4)]
-        sy = [slot_row(1, j) for j in range(4)]
-        sz = [slot_row(2, j) for j in range(4)]
+        pts = [[slot_row(c, j) for c in range(3)] for j in range(4)]
 
-        a00 = sx[0] - sx[1]; a01 = sy[0] - sy[1]; a02 = sz[0] - sz[1]
-        a10 = sx[0] - sx[2]; a11 = sy[0] - sy[2]; a12 = sz[0] - sz[2]
-        a20 = sx[0] - sx[3]; a21 = sy[0] - sy[3]; a22 = sz[0] - sz[3]
+        # Equal-radius system: row_i = p0 - p_i, rhs_i = row_i . (p0 + p_i),
+        # center = adj(rows) rhs / (2 det).  Built as row/cofactor lists.
+        rows = [[pts[0][c] - pts[i][c] for c in range(3)] for i in (1, 2, 3)]
+        rhs = [
+            sum(rows[i][c] * (pts[0][c] + pts[i + 1][c]) for c in range(3))
+            for i in range(3)
+        ]
 
-        c00 = a11 * a22 - a12 * a21
-        c10 = a12 * a20 - a10 * a22
-        c20 = a10 * a21 - a11 * a20
-        det = a00 * c00 + a01 * c10 + a02 * c20
+        def cof(i, j):
+            i1, i2 = [a for a in range(3) if a != i]
+            j1, j2 = [a for a in range(3) if a != j]
+            sign = 1.0 if (i + j) % 2 == 0 else -1.0
+            return sign * (
+                rows[i1][j1] * rows[i2][j2] - rows[i1][j2] * rows[i2][j1]
+            )
+
+        adj = [[cof(j, i) for j in range(3)] for i in range(3)]  # transpose
+        det = sum(rows[0][j] * adj[j][0] for j in range(3))
         degenerate = jnp.abs(det) < SPHERE_EPS
         det = jnp.where(degenerate, 1.0, 2.0 * det)
 
-        c01 = a02 * a21 - a01 * a22
-        c11 = a00 * a22 - a02 * a20
-        c21 = a01 * a20 - a00 * a21
-        c02 = a01 * a12 - a02 * a11
-        c12 = a02 * a10 - a00 * a12
-        c22 = a00 * a11 - a01 * a10
-
-        b0 = a00 * (sx[0] + sx[1]) + a01 * (sy[0] + sy[1]) + a02 * (sz[0] + sz[1])
-        b1 = a10 * (sx[0] + sx[2]) + a11 * (sy[0] + sy[2]) + a12 * (sz[0] + sz[2])
-        b2 = a20 * (sx[0] + sx[3]) + a21 * (sy[0] + sy[3]) + a22 * (sz[0] + sz[3])
-
-        cx = (c00 * b0 + c01 * b1 + c02 * b2) / det
-        cy = (c10 * b0 + c11 * b1 + c12 * b2) / det
-        cz = (c20 * b0 + c21 * b1 + c22 * b2) / det
-        r = jnp.sqrt((sx[0] - cx) ** 2 + (sy[0] - cy) ** 2 + (sz[0] - cz) ** 2)
+        center = [
+            sum(adj[i][j] * rhs[j] for j in range(3)) / det for i in range(3)
+        ]
+        cx, cy, cz = center
+        r = jnp.sqrt(
+            sum((pts[0][c] - center[c]) ** 2 for c in range(3))
+        )
 
         # |e| < 1 with e = w*dist^2 + o, dist^2 = pp - 2 c.p + cc.
         cc = cx * cx + cy * cy + cz * cz
@@ -226,6 +226,10 @@ def sphere3d_fit_vote(delta: float):
             [w * (-2.0 * cx), w * (-2.0 * cy), w * (-2.0 * cz), w * cc + o, w],
             p,
         )
+        # w = 0 on degenerate lanes also zeroes the w * 1e30 pad-guard term,
+        # which would let every replication-pad column vote (e = 0); zero the
+        # whole lane instead of relying on the guard.
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
         return counts, [cx, cy, cz, r]
 
     return fit_vote
@@ -253,6 +257,7 @@ def plane3d_fit_vote(delta: float):
         w = jnp.where(degenerate, 0.0, inv_delta)
         o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
         counts = _band_counts([w * nx, w * ny, w * nz, o, w], p)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)  # pad-guard: see sphere3d
         return counts, [nx, ny, nz, s[0][0], s[0][1], s[0][2]]
 
     return fit_vote
@@ -279,6 +284,7 @@ def line2d_fit_vote(delta: float):
         w = jnp.where(degenerate, 0.0, inv_delta)
         o = jnp.where(degenerate, 2.0, -d_off * inv_delta)
         counts = _band_counts([w * nx, w * ny, o, w], p)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)  # pad-guard: see sphere3d
         return counts, [nx, ny, x0, y0]
 
     return fit_vote
@@ -302,17 +308,22 @@ def line3d_fit_vote(delta: float):
         ua = u[0] * a[0] + u[1] * a[1] + u[2] * a[2]
         aa = a[0] * a[0] + a[1] * a[1] + a[2] * a[2]
 
-        dims = (((0,), (0,)), ((), ()))
         zeros = jnp.zeros_like(ua)
         a1 = jnp.concatenate([u[0], u[1], u[2], -ua, zeros], axis=0)
         a2 = jnp.concatenate(
             [-2.0 * a[0], -2.0 * a[1], -2.0 * a[2], aa, jnp.ones_like(aa)],
             axis=0,
         )
-        e1 = jax.lax.dot_general(p, a1, dims, preferred_element_type=jnp.float32)
-        e2 = jax.lax.dot_general(p, a2, dims, preferred_element_type=jnp.float32)
-        agree = ((e2 - e1 * e1) < delta_sq).astype(jnp.float32)
-        counts = jnp.sum(agree, axis=0, keepdims=True)
+
+        # The e2 rows carry |p|^2 terms O(1e3-1e4); a single-pass (bf16) dot
+        # leaves absolute error in dist^2 comparable to delta^2 at tracker
+        # magnitudes, so both products use the 3-pass bf16-split dot.
+        def body(pc):
+            e1 = _dot_f32x3(pc, a1)
+            e2 = _dot_f32x3(pc, a2)
+            return ((e2 - e1 * e1) < delta_sq).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
         counts = counts * jnp.where(degenerate, 0.0, 1.0)
         return counts, [u[0], u[1], u[2], a[0], a[1], a[2]]
 
@@ -744,6 +755,7 @@ def dense_linear6_fit_vote(delta: float):
             return (jnp.abs(e) < 1.0).astype(jnp.float32)
 
         counts = _chunked_counts(p, body)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)  # pad-guard: see sphere3d
         return counts, x
 
     return fit_vote
@@ -907,20 +919,6 @@ def supports_data(family: str, data) -> bool:
         if not check(data):
             return False
         fit_size(_data_n(data), k_slots)
-    except AssertionError:
-        return False
-    return True
-
-
-def supports(family: str, n: int, dim: int) -> bool:
-    """Shape-only check for plain point families (see supports_data)."""
-    if family not in _FAMILIES:
-        return False
-    _, k_slots, feat_rows, _, _, _, _ = _FAMILIES[family]
-    if dim != feat_rows or n % 128 != 0:
-        return False
-    try:
-        sweep_static(n, k_slots)
     except AssertionError:
         return False
     return True

@@ -161,9 +161,13 @@ def ransac_fused_sweep(
 
     Available when the estimator declares a ``fused_family`` (3D sphere /
     plane / line, 2D line, ray intersection, absolute orientation, pivot
-    calibration, 6-unknown dense linear system) and the data has
-    ``n = 128 * 2^k`` observations; silently falls back to
-    :func:`ransac_structured` otherwise.
+    calibration, 6-unknown dense linear system); falls back to
+    :func:`ransac_structured` for non-fused estimators or data layouts.
+    Any observation count is accepted: sampling planes replicate the data up
+    to the next ``128 * 2^k`` width (a slight sampling-frequency bias toward
+    the duplicated prefix — documented deviation), while the vote always runs
+    against the original observations with guarded padding, so inlier counts
+    stay exact.
     """
     from lsqrrecipes_tpu.ops import fused_sweep as fs
 
@@ -181,10 +185,11 @@ def ransac_fused_sweep(
     )
     best_params = jnp.asarray(params, jax.tree_util.tree_leaves(data)[0].dtype)
     best_mask = est.agree(best_params, data)
-    if vote_subsample:
-        # Preemptive scoring ranks on a subsample; re-vote the winner on the
-        # full data so the reported consensus is exact.
-        count = jnp.sum(best_mask)
+    # The kernel's count comes from the f32/bf16 band vote and can disagree
+    # with est.agree by a few border points on-chip (and, with
+    # vote_subsample, counts only the ranking subsample); the kernel count is
+    # used for selection only — report the exact consensus size.
+    count = jnp.sum(best_mask)
     return _finalize(est, data, count, best_mask, best_params, n)
 
 

@@ -64,8 +64,6 @@ def structured_samples(key, data, k, groups):
     data: pytree with leading observation axis n.
     Returns a pytree of samples with leading axes ``[groups * n, k]``.
     """
-    import jax.tree_util as jtu
-
     import numpy as _np
     import jax.tree_util as jtu
 

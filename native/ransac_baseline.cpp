@@ -24,34 +24,40 @@ struct P3 {
 };
 
 static inline bool circumsphere(const P3 *p[4], double out[4]) {
+  // Equal-radius linear system: row_i = p0 - p_i, rhs_i = row_i . (p0 + p_i);
+  // center = adj(M) rhs / (2 det M) via cofactor expansion over index loops.
   const double kSphereEps = 1e-9;  // SphereParametersEstimator.hxx:11
-  double a00 = p[0]->x - p[1]->x, a01 = p[0]->y - p[1]->y, a02 = p[0]->z - p[1]->z;
-  double a10 = p[0]->x - p[2]->x, a11 = p[0]->y - p[2]->y, a12 = p[0]->z - p[2]->z;
-  double a20 = p[0]->x - p[3]->x, a21 = p[0]->y - p[3]->y, a22 = p[0]->z - p[3]->z;
-
-  double c00 = a11 * a22 - a12 * a21;
-  double c10 = a12 * a20 - a10 * a22;
-  double c20 = a10 * a21 - a11 * a20;
-  double det = a00 * c00 + a01 * c10 + a02 * c20;
+  double q[4][3] = {{p[0]->x, p[0]->y, p[0]->z},
+                    {p[1]->x, p[1]->y, p[1]->z},
+                    {p[2]->x, p[2]->y, p[2]->z},
+                    {p[3]->x, p[3]->y, p[3]->z}};
+  double m[3][3], rhs[3];
+  for (int i = 0; i < 3; i++) {
+    rhs[i] = 0.0;
+    for (int c = 0; c < 3; c++) {
+      m[i][c] = q[0][c] - q[i + 1][c];
+      rhs[i] += m[i][c] * (q[0][c] + q[i + 1][c]);
+    }
+  }
+  double adj[3][3];  // adj[i][j] = cofactor(j, i)
+  for (int i = 0; i < 3; i++) {
+    for (int j = 0; j < 3; j++) {
+      int r1 = (j + 1) % 3, r2 = (j + 2) % 3;
+      int c1 = (i + 1) % 3, c2 = (i + 2) % 3;
+      adj[i][j] = m[r1][c1] * m[r2][c2] - m[r1][c2] * m[r2][c1];
+    }
+  }
+  double det = m[0][0] * adj[0][0] + m[0][1] * adj[1][0] + m[0][2] * adj[2][0];
   if (std::fabs(det) < kSphereEps) return false;
   det *= 2.0;
 
-  double c01 = a02 * a21 - a01 * a22;
-  double c11 = a00 * a22 - a02 * a20;
-  double c21 = a01 * a20 - a00 * a21;
-  double c02 = a01 * a12 - a02 * a11;
-  double c12 = a02 * a10 - a00 * a12;
-  double c22 = a00 * a11 - a01 * a10;
-
-  double b0 = a00 * (p[0]->x + p[1]->x) + a01 * (p[0]->y + p[1]->y) + a02 * (p[0]->z + p[1]->z);
-  double b1 = a10 * (p[0]->x + p[2]->x) + a11 * (p[0]->y + p[2]->y) + a12 * (p[0]->z + p[2]->z);
-  double b2 = a20 * (p[0]->x + p[3]->x) + a21 * (p[0]->y + p[3]->y) + a22 * (p[0]->z + p[3]->z);
-
-  out[0] = (c00 * b0 + c01 * b1 + c02 * b2) / det;
-  out[1] = (c10 * b0 + c11 * b1 + c12 * b2) / det;
-  out[2] = (c20 * b0 + c21 * b1 + c22 * b2) / det;
-  double dx = p[0]->x - out[0], dy = p[0]->y - out[1], dz = p[0]->z - out[2];
-  out[3] = std::sqrt(dx * dx + dy * dy + dz * dz);
+  double rr = 0.0;
+  for (int i = 0; i < 3; i++) {
+    out[i] = (adj[i][0] * rhs[0] + adj[i][1] * rhs[1] + adj[i][2] * rhs[2]) / det;
+    double d = q[0][i] - out[i];
+    rr += d * d;
+  }
+  out[3] = std::sqrt(rr);
   return true;
 }
 

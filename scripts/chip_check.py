@@ -1,0 +1,279 @@
+"""Real-chip regression gate for the fused RANSAC sweep kernels.
+
+Pallas interpret-mode tests (tests/test_fused_sweep.py) validate kernel
+logic but run exact f32 arithmetic and skip Mosaic's (8,128) layout rules,
+so they cannot catch on-chip miscompiles or bf16-pass vote-precision drift.
+This script is the re-runnable chip-truth gate: for every fused family it
+
+  1. runs the fused sweep ON THE REAL TPU CHIP (the default device),
+  2. reconstructs the exact same hypothesis set in pure jnp
+     (``ops/fused_sweep.reference_samples``) and votes it through the f64
+     estimator path ON CPU,
+  3. asserts the kernel's best count matches the f64 best count and that
+     the winning parameters re-achieve that count through the estimator's
+     own ``agree`` (within a few border-point flips for the families whose
+     band vote runs in one bf16 MXU pass).
+
+Golden workloads: the pivot family runs the reference's outliered tracker
+recording (``/root/reference/examples/Data/pivotCalibrationDataWithOutliers
+.txt``) and dense_linear6 the outliered 1444x6 system
+(``augmentedMatrixWithOutliers.txt``) — the same files the reference's
+examples robustly solve (``examples/pivotCalibration.cxx``,
+``examples/linearEquationSystemSolver.cxx``).  Other families use seeded
+synthetic clouds with 20% outliers.
+
+Usage (from /root/repo; chip compiles take ~seconds per family, run under
+nohup if the tunnel is busy):
+
+    nohup python scripts/chip_check.py > /tmp/chip_check.log 2>&1 &
+
+Prints one ``PASS``/``FAIL`` line per family and exits nonzero on any FAIL.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from lsqrrecipes_tpu.estimators import (
+    ALGEBRAIC,
+    AbsoluteOrientationEstimator,
+    DenseLinearSystemEstimator,
+    Line2DEstimator,
+    LineEstimator,
+    PivotCalibrationEstimator,
+    PlaneEstimator,
+    RayIntersectionEstimator,
+    SphereEstimator,
+)
+from lsqrrecipes_tpu.geometry import Frame, rotations
+from lsqrrecipes_tpu.geometry.ray import Ray3D
+from lsqrrecipes_tpu.io.loaders import load_augmented_matrix, load_tracked_frames
+from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+EXAMPLES_DATA = "/root/reference/examples/Data"
+
+
+def _outliered(key, n, d, make_inlier):
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_in = n - n // 5
+    inl = make_inlier(k1, n_in) + 0.2 * jax.random.normal(k2, (n_in, d), jnp.float32)
+    out = jax.random.uniform(k3, (n // 5, d), jnp.float32, -40, 40)
+    return jnp.concatenate([inl, out]).astype(jnp.float32)
+
+
+def _sphere_cloud(key, n):
+    def inlier(k, m):
+        v = jax.random.normal(k, (m, 3), jnp.float32)
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        return jnp.asarray([5.0, -2.0, 11.0]) + 25.0 * v
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _plane_cloud(key, n):
+    def inlier(k, m):
+        uv = jax.random.uniform(k, (m, 2), jnp.float32, -30, 30)
+        e1 = jnp.asarray([1.0, 0.0, 0.5]) / jnp.sqrt(1.25)
+        e2 = jnp.asarray([0.0, 1.0, -0.2])
+        e2 = e2 / jnp.linalg.norm(e2)
+        return jnp.asarray([2.0, -1.0, 4.0]) + uv[:, :1] * e1 + uv[:, 1:] * e2
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _line3d_cloud(key, n):
+    def inlier(k, m):
+        t = jax.random.uniform(k, (m, 1), jnp.float32, -40, 40)
+        u = jnp.asarray([0.6, -0.64, 0.48])
+        u = u / jnp.linalg.norm(u)
+        return jnp.asarray([1.0, 2.0, -3.0]) + t * u
+
+    return _outliered(key, n, 3, inlier)
+
+
+def _line2d_cloud(key, n):
+    def inlier(k, m):
+        t = jax.random.uniform(k, (m, 1), jnp.float32, -40, 40)
+        u = jnp.asarray([0.8, 0.6])
+        return jnp.asarray([-2.0, 5.0]) + t * u
+
+    return _outliered(key, n, 2, inlier)
+
+
+def _pivot_frames():
+    return load_tracked_frames(
+        os.path.join(EXAMPLES_DATA, "pivotCalibrationDataWithOutliers.txt")
+    )
+
+
+def _dense_rows():
+    # The 6-slot shift hash covers up to n_fit = 1024 (6 slots * 5 bits);
+    # beyond that the engine falls back to the structured path, so the chip
+    # gate runs the first 1024 golden rows.
+    rows = load_augmented_matrix(
+        os.path.join(EXAMPLES_DATA, "augmentedMatrixWithOutliers.txt"), 7
+    )
+    return jnp.asarray(rows[:1024])
+
+
+def _absor_pairs(key, n):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jnp.asarray([0.9, 0.2, -0.3, 0.1])
+    r = rotations.matrix_from_quaternion(q / jnp.linalg.norm(q))
+    t = jnp.asarray([12.0, -7.0, 30.0])
+    first = jax.random.uniform(k1, (n, 3), minval=-100.0, maxval=100.0)
+    second = first @ r.T + t + 0.1 * jax.random.normal(k2, (n, 3))
+    n_out = n // 5
+    bad = jax.random.uniform(k3, (n_out, 3), minval=-100.0, maxval=100.0)
+    second = second.at[-n_out:].set(bad)
+    return (jnp.asarray(first, jnp.float32), jnp.asarray(second, jnp.float32))
+
+
+def _ray_bundle(key, n):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    target = jnp.asarray([3.0, -4.0, 20.0])
+    p = jax.random.uniform(k1, (n, 3), minval=-60.0, maxval=60.0)
+    d = target - p + 0.05 * jax.random.normal(k2, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    n_out = n // 5
+    bad = jax.random.normal(k3, (n_out, 3))
+    bad = bad / jnp.linalg.norm(bad, axis=1, keepdims=True)
+    d = d.at[-n_out:].set(bad)
+    return Ray3D(jnp.asarray(p, jnp.float32), jnp.asarray(d, jnp.float32))
+
+
+def _frames_from_features(feats):
+    return Frame(
+        jnp.asarray(feats[..., 0:9], jnp.float64).reshape(*feats.shape[:-1], 3, 3),
+        jnp.asarray(feats[..., 9:12], jnp.float64),
+    )
+
+
+def _absor_from_features(feats):
+    f = jnp.asarray(feats, jnp.float64)
+    return (f[..., 0:3], f[..., 3:6])
+
+
+def _rays_from_features(feats):
+    f = jnp.asarray(feats, jnp.float64)
+    return Ray3D(f[..., 0:3], f[..., 3:6])
+
+
+# name: (data builder, estimator builder, sample->estimator-data adapter,
+#        allowed best-count slack vs the f64 reference)
+FAMILIES = {
+    "sphere3d": (
+        lambda: _sphere_cloud(jax.random.PRNGKey(3), 1024),
+        lambda: SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC),
+        lambda s: jnp.asarray(s, jnp.float64),
+        3,
+    ),
+    "plane3d": (
+        lambda: _plane_cloud(jax.random.PRNGKey(4), 1024),
+        lambda: PlaneEstimator(delta=1.0, dim=3),
+        lambda s: jnp.asarray(s, jnp.float64),
+        3,
+    ),
+    "line3d": (
+        lambda: _line3d_cloud(jax.random.PRNGKey(5), 1024),
+        lambda: LineEstimator(delta=1.0, dim=3),
+        lambda s: jnp.asarray(s, jnp.float64),
+        3,
+    ),
+    "line2d": (
+        lambda: _line2d_cloud(jax.random.PRNGKey(6), 1024),
+        lambda: Line2DEstimator(delta=1.0),
+        lambda s: jnp.asarray(s, jnp.float64),
+        3,
+    ),
+    "pivot": (
+        _pivot_frames,
+        lambda: PivotCalibrationEstimator(delta=1.0),
+        _frames_from_features,
+        2,
+    ),
+    "absolute_orientation": (
+        lambda: _absor_pairs(jax.random.PRNGKey(7), 1024),
+        lambda: AbsoluteOrientationEstimator(delta=1.0),
+        _absor_from_features,
+        2,
+    ),
+    "ray3d": (
+        lambda: _ray_bundle(jax.random.PRNGKey(8), 1024),
+        lambda: RayIntersectionEstimator(delta=1.0, min_angular_deviation=0.05),
+        _rays_from_features,
+        2,
+    ),
+    "dense_linear6": (
+        _dense_rows,
+        lambda: DenseLinearSystemEstimator(delta=0.05, n=6),
+        lambda s: jnp.asarray(s, jnp.float64),
+        2,
+    ),
+}
+
+
+def check_family(name, total_groups):
+    build_data, build_est, adapt, slack = FAMILIES[name]
+    data = build_data()
+    est = build_est()
+    n = jax.tree_util.tree_leaves(data)[0].shape[0]
+    key = jax.random.PRNGKey(7)
+    delta_arg = getattr(est, "fused_delta", None) or est.delta
+
+    # 1. Fused sweep on the real chip (default device).
+    bc, bp = fs.fused_sweep(name, data, key, total_groups, delta_arg)
+    bc = int(bc)
+    bp = jax.device_get(bp)
+
+    # 2. f64 reference vote over the identical hypothesis set, on CPU.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        data_cpu = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(jax.device_get(a)), data
+        )
+        feats = fs.reference_samples(name, data_cpu, key, total_groups)
+        samples = adapt(feats)
+        params, valid = jax.vmap(est.minimal_fit)(samples)
+        counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data_cpu)))(params)
+        cref = int(jnp.max(jnp.where(valid, counts, 0)))
+        achieved = int(
+            jnp.sum(est.agree(jnp.asarray(jnp.asarray(bp), jnp.float64), data_cpu))
+        )
+
+    ok = abs(bc - cref) <= slack and abs(achieved - bc) <= slack and bc > 0
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} {name}: chip_count={bc} f64_ref_count={cref} "
+        f"winner_achieves={achieved} (n={n}, slack={slack})",
+        flush=True,
+    )
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", nargs="*", default=sorted(FAMILIES))
+    ap.add_argument("--groups", type=int, default=6)
+    args = ap.parse_args()
+
+    print(f"devices: {jax.devices()}", flush=True)
+    failures = 0
+    for name in args.families:
+        try:
+            if not check_family(name, args.groups):
+                failures += 1
+        except Exception as e:  # surface, keep checking the rest
+            print(f"FAIL {name}: exception {type(e).__name__}: {e}", flush=True)
+            failures += 1
+    print(f"{'ALL PASS' if failures == 0 else f'{failures} FAILURES'}", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -502,3 +502,39 @@ def test_fused_sweep_nonpow2_parity(interpret_pallas):
     assert abs(int(bc) - cref) <= 1
     achieved = int(jnp.sum(est.agree(jnp.asarray(bp, pts.dtype), pts)))
     assert abs(achieved - int(bc)) <= 1
+
+
+def test_fused_sweep_pad_columns_never_vote(interpret_pallas):
+    # Regression (round-1 advisor, high): on degenerate hypotheses w = 0 also
+    # zeroed the w * 1e30 pad-guard term, so every replication-pad column
+    # voted as an inlier (e = 0) — a pure-noise n=300 sphere sweep returned
+    # count = n_pad - n = 84 with garbage params.  Degenerate lanes must now
+    # be zeroed outright, and any winner must re-achieve its count through
+    # the estimator's own agree() on the TRUE observations.
+    n = 300  # n_pad - n = 84 pad columns
+    pts = jax.random.uniform(
+        jax.random.PRNGKey(5), (n, 3), jnp.float32, -40.0, 40.0
+    )
+    for family, make_est in [
+        ("sphere3d", lambda: SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)),
+        ("plane3d", lambda: PlaneEstimator(delta=1.0, dim=3)),
+        ("line2d", lambda: Line2DEstimator(delta=1.0)),
+    ]:
+        d = 2 if family == "line2d" else 3
+        data = pts[:, :d]
+        est = make_est()
+        bc, bp = fs.fused_sweep(family, data, jax.random.PRNGKey(7), 6, 1.0)
+        achieved = int(jnp.sum(est.agree(jnp.asarray(bp, data.dtype), data)))
+        assert abs(achieved - int(bc)) <= 1, (family, int(bc), achieved)
+
+
+def test_fused_sweep_dense6_pad_columns_never_vote(interpret_pallas):
+    # Same regression for the dense-linear family (rows = [a(6) | b]).
+    n = 200  # 56 pad columns
+    rows = jax.random.normal(jax.random.PRNGKey(8), (n, 7), jnp.float32) * 10.0
+    from lsqrrecipes_tpu.estimators import DenseLinearSystemEstimator
+
+    est = DenseLinearSystemEstimator(delta=0.05, n=6)
+    bc, bp = fs.fused_sweep("dense_linear6", rows, jax.random.PRNGKey(7), 6, 0.05)
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, rows.dtype), rows)))
+    assert abs(achieved - int(bc)) <= 1, (int(bc), achieved)

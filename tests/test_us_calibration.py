@@ -175,15 +175,19 @@ def make_plane_phantom_data(key, n=50, sigma=1.0):
 
 
 def _check_plane_phantom(params, true, trans_eps, ang_eps):
-    # Plane normal (R1 row 3) and offset.
+    # Plane normal (R1 row 3) and offset.  The homogeneous null vector is
+    # sign-ambiguous: (r1_row3, t1_z) and (-r1_row3, -t1_z) describe the same
+    # plane (the reference test likewise accepts either Euler solution,
+    # ``PlanePhantom...Test.cxx``), so compare up to a global sign.
     cy1, sy1 = jnp.cos(params[0]), jnp.sin(params[0])
     cx1, sx1 = jnp.cos(params[1]), jnp.sin(params[1])
     est_row3 = jnp.stack([-sy1, cy1 * sx1, cy1 * cx1])
+    sign = jnp.where(jnp.dot(est_row3, true["r1_row3"]) >= 0, 1.0, -1.0)
     angle = float(
-        jnp.arccos(jnp.clip(jnp.dot(est_row3, true["r1_row3"]), -1.0, 1.0))
+        jnp.arccos(jnp.clip(jnp.dot(sign * est_row3, true["r1_row3"]), -1.0, 1.0))
     )
     assert angle < ang_eps
-    np.testing.assert_allclose(params[2], true["t1_z"], atol=trans_eps)
+    np.testing.assert_allclose(sign * params[2], true["t1_z"], atol=trans_eps)
     np.testing.assert_allclose(params[3:6], true["t3"], atol=trans_eps)
     r_est = _euler_zyx_matrix(params[6], params[7], params[8])
     assert _rotation_angle_between(r_est, true["r3"]) < ang_eps
@@ -230,3 +234,90 @@ def test_crosswire_experimental_statistics():
         d, dmin, dmax, dmean = est.distance_statistics(params, data)
         assert bool(jnp.all(jnp.isfinite(d)))
         assert float(dmean) < 10.0  # mm; experimental tracker noise scale
+
+
+# --------------------------------------------------------------------------
+# RANSAC end-to-end (the reference's example workloads:
+# ``examples/crosswireUSCalibration.cxx:66-84``,
+# ``examples/pointerUSCalibration.cxx:77-92``,
+# ``examples/planeUSCalibration.cxx:60-90`` — estimate robustly from
+# outlier-contaminated data, then check the recovered calibration at the
+# reference test tolerances).
+# --------------------------------------------------------------------------
+
+from lsqrrecipes_tpu.ransac import ransac
+
+
+def test_crosswire_ransac_outliers():
+    """~30% outliers (corrupted poses); recovery at reference tolerances
+    (``SinglePointTarget...Test.cxx:466-470``)."""
+    (noisy, clean, true) = make_crosswire_data(jax.random.PRNGKey(10), n=64, sigma=0.5)
+    frames, q = noisy
+    n = q.shape[0]
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    bad_t = frames.t[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    frames = Frame(frames.r, frames.t.at[-n_out:].set(bad_t))
+
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    res = ransac(est, (frames, q), jax.random.PRNGKey(12), num_hypotheses=2048)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    # The corrupted tail is excluded from the consensus.
+    assert int(jnp.sum(res.consensus[-n_out:])) <= n_out // 5
+    _check_crosswire(res.params, true)
+
+
+def test_pointer_ransac_outliers():
+    """~30% outliers (corrupted pointer-tip positions)."""
+    (noisy, clean, true) = make_pointer_data(jax.random.PRNGKey(13), n=64, sigma=0.5)
+    frames, q, p = noisy
+    n = q.shape[0]
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(14))
+    bad_p = p[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    p = p.at[-n_out:].set(bad_p)
+
+    est = PointerUSCalibrationEstimator(delta=3.0)
+    res = ransac(est, (frames, q, p), jax.random.PRNGKey(15), num_hypotheses=2048)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    assert int(jnp.sum(res.consensus[-n_out:])) <= n_out // 5
+    _check_pointer(res.params, true)
+
+
+def test_plane_phantom_ransac_outliers():
+    """k = 31 minimal samples inside RANSAC (the SURVEY hard part).
+
+    15% outliers: with k = 31 the clean-sample probability is 0.85^31 ~
+    0.65%, so a 16384-hypothesis budget expects ~107 clean samples (the
+    reference's adaptive variant would run a comparable budget at
+    w = 0.85, p = 0.999).  Tolerances from ``PlanePhantom...Test.cxx:286-288``
+    (3.0 mm / 5 degrees).
+    """
+    (noisy, clean, true) = make_plane_phantom_data(
+        jax.random.PRNGKey(16), n=80, sigma=0.5
+    )
+    frames, q = noisy
+    n = q.shape[0]
+    n_out = n * 15 // 100
+    k1, k2 = jax.random.split(jax.random.PRNGKey(17))
+    # Outliers violate the plane constraint: shove poses along the normal.
+    shift = jax.random.uniform(k1, (n_out, 1), minval=20.0, maxval=60.0) * jnp.sign(
+        jax.random.normal(k2, (n_out, 1))
+    )
+    bad_t = frames.t[-n_out:] + shift * true["r1_row3"]
+    frames = Frame(frames.r, frames.t.at[-n_out:].set(bad_t))
+
+    est = PlanePhantomUSCalibrationEstimator(delta=2.0)
+    res = ransac(
+        est, (frames, q), jax.random.PRNGKey(18), num_hypotheses=16384
+    )
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.7
+    assert int(jnp.sum(res.consensus[-n_out:])) == 0
+    _check_plane_phantom(res.params, true, trans_eps=3.0, ang_eps=np.radians(5.0))
