@@ -11,8 +11,8 @@ target is >100x at one host.
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Usage: python bench.py [--metric ransac|lm|pivot|dense] [--path fused_sweep|scan]
-       [--points N] [--hypotheses B] [--steps K]
+Usage: python bench.py [--metric ransac|lm|pivot|dense|us|generic]
+       [--path fused_sweep|scan] [--points N] [--hypotheses B] [--steps K]
 """
 
 import argparse
@@ -30,9 +30,13 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseli
     """Compile (cached) and run a serial C++ baseline; returns hyp/s."""
     src = os.path.join(REPO, "native", name + ".cpp")
     binary = os.path.join(REPO, "native", name)
+    # us_baseline: the tree-vectorizer at -march=native miscompiles (SIGSEGV)
+    # on this toolchain; scalar -march=native code is also measurably faster
+    # for it, so the flag favors the baseline.
+    extra = ["-fno-tree-vectorize"] if name == "us_baseline" else []
     if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-o", binary, src],
+            ["g++", "-O3", "-march=native", *extra, "-o", binary, src],
             check=True,
         )
     out = subprocess.run(
@@ -185,6 +189,158 @@ def bench_dense(args):
     )
 
 
+def bench_us(args):
+    """Crosswire-US-calibration RANSAC throughput vs serial C++.
+
+    TPU path: the zero-materialization planar-lane structured sweep
+    (ops/us_fast.py): permutation + static rolls build [k, F, B] sampling
+    planes with the batch on the lanes, lanes-form f32 Householder QR
+    minimal fits, Newton-polar orthonormalization, and the compact
+    R2-orthogonality matmul vote in 3-pass bf16-split products.  The C++
+    baseline (native/us_baseline.cpp) runs the equivalent pipeline serially
+    with the reference's early-exit vote loop — favored vs the reference's
+    12x12 SVD per hypothesis, so the ratio is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import CrosswireUSCalibrationEstimator
+    from lsqrrecipes_tpu.estimators.us_calibration import _euler_zyx_matrix
+    from lsqrrecipes_tpu.geometry import Frame
+
+    cpp_hps = build_and_run_cpp_baseline(
+        args.points, args.baseline_hypotheses // 4, name="us_baseline"
+    )
+
+    # Same data model as the C++ baseline: known calibration, 20% corrupted
+    # poses, 0.5 px image noise.
+    n = args.points
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    m_x, m_y = 0.143, 0.139
+    r3 = _euler_zyx_matrix(1.1, 0.4, -0.7)
+    t3 = jnp.asarray([20.0, -15.0, 40.0])
+    t1 = jnp.asarray([30.0, 76.0, -58.0])
+    q = jax.random.uniform(k1, (n, 2)) * jnp.asarray([640.0, 480.0])
+    w2 = jax.random.uniform(k2, (n, 3), minval=0.0, maxval=jnp.pi)
+    r2 = jax.vmap(lambda w: _euler_zyx_matrix(w[2], w[1], w[0]))(w2)
+    img = q[:, 0:1] * (m_x * r3[:, 0]) + q[:, 1:2] * (m_y * r3[:, 1]) + t3
+    t2 = t1 - jnp.einsum("nij,nj->ni", r2, img)
+    n_out = n // 5
+    bad = t2[-n_out:] + (30.0 + 50.0 * jax.random.uniform(k3, (n_out, 3))) * jnp.sign(
+        jax.random.normal(k4, (n_out, 3))
+    )
+    t2 = t2.at[-n_out:].set(bad)
+    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    data = (Frame(r2, t2), q)
+
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    groups_per_step = max(1, min(16, args.hypotheses // n // 4))
+    steps = max(1, args.hypotheses // (groups_per_step * n))
+    reps = 4
+
+    @jax.jit
+    def sweeps(seed0):
+        def body(carry, i):
+            k = jax.random.fold_in(jax.random.PRNGKey(17), seed0 + i)
+            counts, _ = est.structured_sweep(data, k, groups_per_step)
+            return carry, jnp.max(counts)
+
+        _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
+        return counts
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        counts = np.array(sweeps(1000 * (trial + 1)))
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > (4 * n) // 5 - n // 10).all(), "US sweeps missed the structure"
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = steps * groups_per_step * n / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "us_calibration_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
+def bench_generic(args):
+    """The f64 parity engine (``ransac``'s hypothesize_and_vote path) on the
+    sphere workload — the faithful-semantics path, not the f32 redesigns.
+
+    Same C++ denominator as the headline metric (serial circumsphere RANSAC
+    with early-exit votes)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+    from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote
+    from lsqrrecipes_tpu.ransac.sampling import sample_k_with_replacement
+
+    cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)
+
+    n = args.points
+    key = jax.random.PRNGKey(42)
+    k1, k2, k3 = jax.random.split(key, 3)
+    n_in = n * 4 // 5
+    d = jax.random.normal(k1, (n_in, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    pts = jnp.concatenate(
+        [
+            jnp.asarray([5.0, -2.0, 11.0]) + 25.0 * d
+            + 0.3 * jax.random.normal(k2, (n_in, 3)),
+            jax.random.uniform(k3, (n - n_in, 3), minval=-40.0, maxval=40.0),
+        ]
+    )
+    assert pts.dtype == jnp.float64
+
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+    batch = min(8192, args.hypotheses)
+    steps = max(1, args.hypotheses // batch // 4)
+    reps = 4
+
+    @jax.jit
+    def sweeps(seed0):
+        def body(carry, i):
+            k = jax.random.fold_in(jax.random.PRNGKey(23), seed0 + i)
+            idx = sample_k_with_replacement(k, n, est.k, batch)
+            count, _mask, _params = hypothesize_and_vote(est, pts, idx)
+            return carry, count
+
+        _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
+        return counts
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        counts = np.array(sweeps(1000 * (trial + 1)))
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > (4 * n) // 5 - n // 10).all(), "generic sweeps missed the sphere"
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = steps * batch / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "generic_f64_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
 def bench_lm(args):
     """Secondary metric: vmapped geometric-sphere LM iterations/second.
 
@@ -282,7 +438,11 @@ def bench_lm(args):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--metric", default="ransac", choices=["ransac", "lm", "pivot", "dense"])
+    parser.add_argument(
+        "--metric",
+        default="ransac",
+        choices=["ransac", "lm", "pivot", "dense", "us", "generic"],
+    )
     parser.add_argument(
         "--path",
         default="fused_sweep",
@@ -305,6 +465,12 @@ def main():
         return
     if args.metric == "dense":
         bench_dense(args)
+        return
+    if args.metric == "us":
+        bench_us(args)
+        return
+    if args.metric == "generic":
+        bench_generic(args)
         return
 
     cpp_hps = build_and_run_cpp_baseline(args.points, args.baseline_hypotheses)

@@ -14,6 +14,10 @@ from lsqrrecipes_tpu.estimators.us_calibration import (
     CrosswireUSCalibrationEstimator,
 )
 from lsqrrecipes_tpu.io import load_crosswire_phantom
+from lsqrrecipes_tpu.io.xml_out import (
+    calibration_transform_from_params,
+    write_precomputed_transform,
+)
 from lsqrrecipes_tpu.ransac import ransac
 
 
@@ -41,6 +45,18 @@ def main():
     result = ransac(est, data, jax.random.PRNGKey(1), num_hypotheses=512)
     report("RANSAC [t1, t3, w, m]", result.params[:11])
     print(f"inlier fraction: {float(result.inlier_fraction):.3f}")
+    if bool(result.valid):
+        # Persist the calibration the reference way
+        # (``crosswireUSCalibration.cxx:185-211``).
+        p = result.params
+        _, _, _, dmean = est.distance_statistics(p, data)
+        write_precomputed_transform(
+            "crosswireUSCalibration.xml",
+            "US calibration - cross wire phantom",
+            calibration_transform_from_params(p[3:6], p[11:14], p[14:17], p[17:20]),
+            dmean,
+        )
+        print("wrote crosswireUSCalibration.xml")
 
 
 if __name__ == "__main__":

@@ -77,13 +77,18 @@ def registration_pairs(key):
 
 
 def main():
-    if not pallas_available():
-        # No TPU: run the same kernels in interpret mode with a small budget.
+    # A TPU may be visible while the DEFAULT device is CPU (the examples'
+    # LSQR_EXAMPLES_DEVICE=cpu mode) — Mosaic kernels only lower on TPU, so
+    # check where the computation will actually run.
+    default = jax.config.jax_default_device
+    on_cpu = default is not None and default.platform == "cpu"
+    if not pallas_available() or on_cpu:
+        # No TPU target: run the same kernels in interpret mode, small budget.
         from jax.experimental import pallas as pl
 
         pl.pallas_call = functools.partial(pl.pallas_call, interpret=True)
         budget = 4 * N
-        print("(no TPU found - Pallas interpret mode, small budget)")
+        print("(no TPU target - Pallas interpret mode, small budget)")
     else:
         budget = 4 << 20
 

@@ -13,6 +13,11 @@ from lsqrrecipes_tpu.estimators.us_calibration import (
     _euler_zyx_matrix,
 )
 from lsqrrecipes_tpu.geometry import Frame
+from lsqrrecipes_tpu.io.xml_out import (
+    calibration_transform_from_params,
+    write_precomputed_transform,
+)
+from lsqrrecipes_tpu.ransac import ransac
 from lsqrrecipes_tpu.utils import RandomNumberGenerator
 
 
@@ -57,6 +62,29 @@ def main():
             f"plane distance mm: min {float(dmin):.4f} max {float(dmax):.4f} "
             f"mean {float(dmean):.4f}\n"
         )
+
+    # Robust estimate, as the reference example runs it
+    # (``planeUSCalibration.cxx:68-84``, RANSAC over k = 31 minimal samples
+    # at p = 0.999-equivalent budget), then persist the calibration the
+    # reference way (``:193-219``).
+    est = PlanePhantomUSCalibrationEstimator(delta=2.0, ls_type=ITERATIVE)
+    result = ransac(est, data, jax.random.PRNGKey(1), num_hypotheses=2048)
+    report("RANSAC (11 minimal params)", result.params[:11])
+    print(f"inlier fraction: {float(result.inlier_fraction):.3f}")
+    if bool(result.valid):
+        p = result.params
+        r3_est = _euler_zyx_matrix(p[6], p[7], p[8])
+        transform = calibration_transform_from_params(
+            p[3:6], p[9] * r3_est[:, 0], p[10] * r3_est[:, 1], r3_est[:, 2]
+        )
+        _, _, _, dmean = est.distance_statistics(p, data)
+        write_precomputed_transform(
+            "planeUSCalibration.xml",
+            "US calibration - Plane Phantom",
+            transform,
+            dmean,
+        )
+        print("wrote planeUSCalibration.xml")
 
 
 if __name__ == "__main__":

@@ -13,6 +13,10 @@ from lsqrrecipes_tpu.estimators.us_calibration import (
     _euler_zyx_matrix,
 )
 from lsqrrecipes_tpu.geometry import Frame
+from lsqrrecipes_tpu.io.xml_out import (
+    calibration_transform_from_params,
+    write_precomputed_transform,
+)
 from lsqrrecipes_tpu.ransac import ransac
 from lsqrrecipes_tpu.utils import RandomNumberGenerator
 
@@ -48,6 +52,18 @@ def main():
     result = ransac(est, data, jax.random.PRNGKey(1), num_hypotheses=1024)
     report("RANSAC [t3, w, m]", result.params[:8])
     print(f"inlier fraction: {float(result.inlier_fraction):.3f}")
+    if bool(result.valid):
+        # Persist the calibration the reference way
+        # (``pointerUSCalibration.cxx:218-244``).
+        pr = result.params
+        _, _, _, dmean = est.distance_statistics(pr, data)
+        write_precomputed_transform(
+            "pointerUSCalibration.xml",
+            "US calibration - calibrated pointer",
+            calibration_transform_from_params(pr[0:3], pr[8:11], pr[11:14], pr[14:17]),
+            dmean,
+        )
+        print("wrote pointerUSCalibration.xml")
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ These helpers are pure elementwise jnp (no LinAlg custom calls), batched
 over leading axes, and differentiable.
 """
 
+import jax
 import jax.numpy as jnp
 
 
@@ -102,3 +103,73 @@ def solve_spd(a, b):
         x, det = solve3(a, b)
         return x, det
     return cholesky_solve_unrolled(a, b, n)
+
+
+def qr_solve_lanes(rows, rhs, eps=1e-5):
+    """Householder least-squares solve in LANES form: batch on the LANES.
+
+    ``rows``: list (length R) of lists (length C) of ``[B]`` vectors — the
+    system matrix with every scalar a batch vector; ``rhs``: list of R
+    ``[B]`` vectors.  Returns ``(x, ok)`` with ``x`` a list of C ``[B]``
+    vectors and ``ok`` a ``[B]`` bool degeneracy gate (a Householder pivot
+    collapsed — the rank-deficient case).
+
+    Rationale: a ``[B, R, C]`` array tiles its LAST TWO dims to (8, 128) on
+    TPU, so tiny per-hypothesis systems waste ~100x memory and lanes; lists
+    of ``[B]`` vectors keep the batch on the lanes and every operation a
+    full-width VPU op.  QR (not normal equations) keeps the conditioning
+    un-squared, so float32 is accurate enough for vote-grade solutions.
+    Columns are pre-scaled to unit norm (restored on output) so the pivot
+    gate is relative.
+    """
+    nr = len(rows)
+    nc = len(rows[0])
+    a = [[rows[r][c] for c in range(nc)] for r in range(nr)]
+    b = list(rhs)
+
+    # Column equilibration.
+    inv_scale = []
+    for c in range(nc):
+        norm2 = sum(a[r][c] * a[r][c] for r in range(nr))
+        s = jax.lax.rsqrt(jnp.maximum(norm2, jnp.finfo(norm2.dtype).tiny))
+        inv_scale.append(s)
+        for r in range(nr):
+            a[r][c] = a[r][c] * s
+
+    ok = None
+    for k in range(nc):
+        sigma = sum(a[r][k] * a[r][k] for r in range(k, nr))
+        norm = jnp.sqrt(sigma)
+        good = norm > eps
+        ok = good if ok is None else jnp.logical_and(ok, good)
+        akk = a[k][k]
+        alpha = jnp.where(akk >= 0, -norm, norm)
+        vk = akk - alpha
+        # v^T v = -2 alpha vk, so H = I + v v^T / (alpha vk).
+        denom = alpha * vk
+        inv_denom = 1.0 / jnp.where(good, denom, 1.0)
+        for j in range(k + 1, nc):
+            w = vk * a[k][j]
+            for r in range(k + 1, nr):
+                w = w + a[r][k] * a[r][j]
+            w = w * inv_denom
+            a[k][j] = a[k][j] + vk * w
+            for r in range(k + 1, nr):
+                a[r][j] = a[r][j] + a[r][k] * w
+        w = vk * b[k]
+        for r in range(k + 1, nr):
+            w = w + a[r][k] * b[r]
+        w = w * inv_denom
+        b[k] = b[k] + vk * w
+        for r in range(k + 1, nr):
+            b[r] = b[r] + a[r][k] * w
+        a[k][k] = alpha
+
+    x = [None] * nc
+    for i in reversed(range(nc)):
+        t = b[i]
+        for j in range(i + 1, nc):
+            t = t - a[i][j] * x[j]
+        diag = a[i][i]
+        x[i] = t / jnp.where(jnp.abs(diag) > eps, diag, 1.0)
+    return [x[c] * inv_scale[c] for c in range(nc)], ok

@@ -1,0 +1,478 @@
+"""Batched fast-hypothesize path for the US-calibration estimators.
+
+The generic engine vmaps each estimator's ``minimal_fit`` — for crosswire
+that is a 12x12 f64 SVD pseudo-inverse per hypothesis
+(``SinglePointTargetUSCalibrationParametersEstimator.cxx:120-270``), which
+on TPU serializes into LinAlg custom calls.  This module replaces the whole
+hypothesize+vote step with TPU-shaped batched arithmetic:
+
+  * **Lanes-first layout.**  A ``[B, 12, 12]`` array tiles its last two dims
+    to (8, 128) on TPU — ~100x padding waste (the repo's "[B, k, d]" trap).
+    Every per-hypothesis scalar here is instead a ``[B]`` vector (batch on
+    the lanes); the whole minimal fit is straight-line VPU code.
+  * **f32 Householder QR** (:func:`lsqrrecipes_tpu.linalg.small.
+    qr_solve_lanes`) on the minimal system — QR keeps the conditioning
+    un-squared (normal equations in f32 lost ~2 digits and flipped vote
+    blocks; f64 emulation was ~10x slower than the entire vote).  The
+    equilibrated QR pivot gate is the f32 analogue of the reference's
+    FLT_EPSILON rank test (``cxx:192-197``).
+  * the closest-rotation orthonormalization (reference: SVD ``U V^T``,
+    ``cxx:220-229``) as a **Newton polar iteration** ``X <- (X + X^-T)/2``
+    with adjugate inverses — the raw frame ``[c1/|c1|, c2/|c2|, r1 x r2]``
+    has det >= 0, so the polar factor is the same rotation the SVD gives;
+  * batched gimbal-safe Euler-ZYX extraction (``cxx:230-247``);
+  * a **compact matmul vote** that exploits R2's orthogonality:
+    ``||R2 img + t2 - t1||^2 = ||img + R2^T t2 - R2^T t1||^2``, so each
+    residual component is affine in only 15 per-element features
+    ``[u, v, 1, R2^T t2 (3), vec(R2) (9)]`` (crosswire; pointer needs just 6
+    with ``w = R2^T (p - t2)``) instead of 31 — and the products run as
+    3-pass bf16-split matmuls (exact for bf16-split operands, ~2^-22
+    relative) rather than 6-pass HIGHEST.
+
+Everything runs in float32 (throughput path — the f64 engine retains exact
+reference semantics); counts can differ from the f64 vote by border-point
+flips, same contract as the fused Pallas families.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lsqrrecipes_tpu.linalg.small import qr_solve_lanes
+
+
+def _split3_matmul(a, f):
+    """~f32-accurate ``a[B, K] @ f[n, K]^T`` in three bf16-pass products.
+
+    Splitting each operand into bf16 high + low parts makes every partial
+    product exactly representable in a bf16-multiply/f32-accumulate pass;
+    dropping the lo*lo term leaves ~2^-22 relative error.
+    """
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
+    f_lo = f - f_hi
+
+    def d(x, y):
+        return jnp.einsum("bk,nk->bn", x, y)
+
+    return d(a_hi, f_hi) + d(a_hi, f_lo) + d(a_lo, f_hi)
+
+
+# ---------------------------------------------------------------------------
+# Lanes-form 3x3 helpers (nested lists of [B] vectors)
+# ---------------------------------------------------------------------------
+
+
+def _cof3_lanes(x):
+    """Cofactor matrix of a lanes-form 3x3 (cyclic-index expansion)."""
+    c = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            c[i][j] = x[i1][j1] * x[i2][j2] - x[i1][j2] * x[i2][j1]
+    return c
+
+
+def polar3_lanes(m, iters: int = 5):
+    """Closest rotation to a lanes-form 3x3 with det > 0 via Newton polar
+    iteration ``X <- (X + X^-T) / 2`` — quadratic convergence, no SVD.
+    Returns ``(R, ok)``."""
+    x = m
+    ok = None
+    for _ in range(iters):
+        c = _cof3_lanes(x)
+        det = x[0][0] * c[0][0] + x[0][1] * c[0][1] + x[0][2] * c[0][2]
+        good = jnp.abs(det) > 1e-9
+        ok = good if ok is None else jnp.logical_and(ok, good)
+        inv = 1.0 / jnp.where(good, det, 1.0)
+        x = [
+            [0.5 * (x[i][j] + c[i][j] * inv) for j in range(3)]
+            for i in range(3)
+        ]
+    return x, ok
+
+
+def euler_zyx_plus_lanes(r):
+    """Lanes-form '+sqrt' Euler-ZYX extraction with the gimbal branch
+    (``SinglePointTarget...cxx:230-247``): returns ``(wz, wy, wx)`` [B]."""
+    wy = jnp.arctan2(-r[2][0], jnp.sqrt(r[0][0] ** 2 + r[1][0] ** 2))
+    small_angle = 0.008726535498373935
+    half_pi = 1.5707963267948966
+    gimbal = jnp.logical_not(
+        jnp.logical_and(
+            jnp.abs(wy - half_pi) > small_angle,
+            jnp.abs(wy + half_pi) > small_angle,
+        )
+    )
+    cy = jnp.where(gimbal, 1.0, jnp.cos(wy))
+    wz = jnp.where(gimbal, 0.0, jnp.arctan2(r[1][0] / cy, r[0][0] / cy))
+    wx = jnp.where(
+        gimbal,
+        jnp.arctan2(r[0][1], r[1][1]),
+        jnp.arctan2(r[2][1] / cy, r[2][2] / cy),
+    )
+    return wz, wy, wx
+
+
+def _orthonormalize_lanes(c1, c2):
+    """Lanes-form scales + closest rotation from raw scaled columns
+    (reference semantics, ``cxx:204-229``).  ``c1``/``c2``: length-3 lists of
+    [B] vectors -> ``(m_x, m_y, r3, ok)`` with r3 a lanes-form 3x3."""
+    n1 = c1[0] * c1[0] + c1[1] * c1[1] + c1[2] * c1[2]
+    n2 = c2[0] * c2[0] + c2[1] * c2[1] + c2[2] * c2[2]
+    ok = jnp.logical_and(n1 > 1e-20, n2 > 1e-20)
+    i1 = jax.lax.rsqrt(jnp.maximum(n1, 1e-30))
+    i2 = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+    r1 = [c1[i] * i1 for i in range(3)]
+    r2 = [c2[i] * i2 for i in range(3)]
+    r3col = [
+        r1[1] * r2[2] - r1[2] * r2[1],
+        r1[2] * r2[0] - r1[0] * r2[2],
+        r1[0] * r2[1] - r1[1] * r2[0],
+    ]
+    raw = [[r1[i], r2[i], r3col[i]] for i in range(3)]
+    rot, pok = polar3_lanes(raw)
+    return n1 * i1, n2 * i2, rot, jnp.logical_and(ok, pok)
+
+
+# ---------------------------------------------------------------------------
+# Minimal fits (lanes-form f32 QR)
+# ---------------------------------------------------------------------------
+
+
+# Fits consume "slot" accessors: slot(a, f) -> the [B] lane vector of
+# per-element feature f of sample slot a.  Slot feature layouts:
+#   crosswire: [vec(R2) 9, t2 3, u, v]                  (F = 14)
+#   pointer:   [vec(R2) 9, t2 3, u, v, p 3]             (F = 17)
+# The same fit code then runs off materialized [B, k, F] samples (engine
+# fit_and_vote hook) or off planar [k*F, B] sampling planes (the
+# zero-materialization structured sweep) without caring which.
+
+
+def _crosswire_fit_slots(slot, k: int):
+    """Minimal 3k x 12 system ``[u R2 | v R2 | R2 | -I] x = -t2``
+    (``SinglePointTarget...cxx:120-270``) in lanes form ->
+    ``(params[B, 20], valid[B])``."""
+    zero = jnp.zeros_like(slot(0, 12))
+    one = zero + 1.0
+    rows, rhs = [], []
+    for a in range(k):
+        u, v = slot(a, 12), slot(a, 13)
+        for j in range(3):
+            row = [None] * 12
+            for c in range(3):
+                r_jc = slot(a, 3 * j + c)
+                row[c] = u * r_jc
+                row[3 + c] = v * r_jc
+                row[6 + c] = r_jc
+                row[9 + c] = -one if j == c else zero
+            rows.append(row)
+            rhs.append(-slot(a, 9 + j))
+    x, valid = qr_solve_lanes(rows, rhs)
+
+    m_x, m_y, r3, ok = _orthonormalize_lanes(x[0:3], x[3:6])
+    wz, wy, wx = euler_zyx_plus_lanes(r3)
+    cols = (
+        [x[9 + i] for i in range(3)]                 # t1
+        + [x[6 + i] for i in range(3)]               # t3
+        + [wz, wy, wx, m_x, m_y]
+        + [m_x * r3[i][0] for i in range(3)]
+        + [m_y * r3[i][1] for i in range(3)]
+        + [r3[i][2] for i in range(3)]
+    )
+    return jnp.stack(cols, axis=-1), jnp.logical_and(valid, ok)
+
+
+def _pointer_fit_slots(slot, k: int):
+    """Minimal 3k x 9 system ``[u R2 | v R2 | R2] x = p - t2``
+    (``cxx:763-914``) -> ``(params[B, 17], valid[B])``."""
+    rows, rhs = [], []
+    for a in range(k):
+        u, v = slot(a, 12), slot(a, 13)
+        for j in range(3):
+            row = [None] * 9
+            for c in range(3):
+                r_jc = slot(a, 3 * j + c)
+                row[c] = u * r_jc
+                row[3 + c] = v * r_jc
+                row[6 + c] = r_jc
+            rows.append(row)
+            rhs.append(slot(a, 14 + j) - slot(a, 9 + j))
+    x, valid = qr_solve_lanes(rows, rhs)
+
+    m_x, m_y, r3, ok = _orthonormalize_lanes(x[0:3], x[3:6])
+    wz, wy, wx = euler_zyx_plus_lanes(r3)
+    cols = (
+        [x[6 + i] for i in range(3)]                 # t3
+        + [wz, wy, wx, m_x, m_y]
+        + [m_x * r3[i][0] for i in range(3)]
+        + [m_y * r3[i][1] for i in range(3)]
+        + [r3[i][2] for i in range(3)]
+    )
+    return jnp.stack(cols, axis=-1), jnp.logical_and(valid, ok)
+
+
+# ---------------------------------------------------------------------------
+# Compact votes (R2-orthogonality form)
+# ---------------------------------------------------------------------------
+
+
+def _features_crosswire(data):
+    """``[n, 15]`` = ``[u, v, 1, R2^T t2 (3), vec(R2) (9)]`` (f32)."""
+    frames, q = data
+    f32 = jnp.float32
+    r2 = jnp.asarray(frames.r, f32)
+    t2 = jnp.asarray(frames.t, f32)
+    q32 = jnp.asarray(q, f32)
+    rt2 = jnp.einsum("nij,ni->nj", r2, t2)
+    return jnp.concatenate(
+        [
+            q32,
+            jnp.ones((q32.shape[0], 1), f32),
+            rt2,
+            r2.reshape(-1, 9),
+        ],
+        axis=-1,
+    )
+
+
+def _vote_rows_crosswire(params):
+    """``a_j[B, 15]`` with ``e_j = u c1_j + v c2_j + t3_j + (R2^T t2)_j
+    - (R2 col j) . t1``; vec(R2) is row-major so column j lives at 3k+j."""
+    bsz = params.shape[0]
+    dt = params.dtype
+    t1 = params[:, 0:3]
+    rows = []
+    for j in range(3):
+        rblock = jnp.zeros((bsz, 3, 3), dt).at[:, :, j].set(-t1).reshape(bsz, 9)
+        rows.append(
+            jnp.concatenate(
+                [
+                    params[:, 11 + j : 12 + j],        # c1_j = m_x R3(j, 0)
+                    params[:, 14 + j : 15 + j],        # c2_j
+                    params[:, 3 + j : 4 + j],          # t3_j
+                    jnp.zeros((bsz, 3), dt).at[:, j].set(1.0),
+                    rblock,
+                ],
+                axis=-1,
+            )
+        )
+    return rows
+
+
+def _features_pointer(data):
+    """``[n, 6]`` = ``[u, v, 1, R2^T (p - t2) (3)]`` (f32)."""
+    frames, q, p = data
+    f32 = jnp.float32
+    r2 = jnp.asarray(frames.r, f32)
+    w = jnp.einsum(
+        "nij,ni->nj", r2, jnp.asarray(p, f32) - jnp.asarray(frames.t, f32)
+    )
+    q32 = jnp.asarray(q, f32)
+    return jnp.concatenate(
+        [q32, jnp.ones((q32.shape[0], 1), f32), w], axis=-1
+    )
+
+
+def _vote_rows_pointer(params):
+    """``a_j[B, 6]``: ``e_j = u c1_j + v c2_j + t3_j - w_j``."""
+    bsz = params.shape[0]
+    dt = params.dtype
+    rows = []
+    for j in range(3):
+        rows.append(
+            jnp.concatenate(
+                [
+                    params[:, 8 + j : 9 + j],
+                    params[:, 11 + j : 12 + j],
+                    params[:, j : j + 1],              # t3_j
+                    jnp.zeros((bsz, 3), dt).at[:, j].set(-1.0),
+                ],
+                axis=-1,
+            )
+        )
+    return rows
+
+
+# Per-element slot-feature builders ([n, F], f32).
+def _slot_features_crosswire(data):
+    frames, q = data
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            jnp.asarray(frames.r, f32).reshape(-1, 9),
+            jnp.asarray(frames.t, f32),
+            jnp.asarray(q, f32),
+        ],
+        axis=-1,
+    )
+
+
+def _slot_features_pointer(data):
+    frames, q, p = data
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            jnp.asarray(frames.r, f32).reshape(-1, 9),
+            jnp.asarray(frames.t, f32),
+            jnp.asarray(q, f32),
+            jnp.asarray(p, f32),
+        ],
+        axis=-1,
+    )
+
+
+def _samples_to_slot_features(kind, samples):
+    """Materialized engine samples (pytree with leading [B, k]) -> the same
+    [B, k, F] slot-feature layout the planar sweep uses."""
+    flat = jax.tree_util.tree_map(
+        lambda a: a.reshape(-1, *a.shape[2:]), samples
+    )
+    _, _, _, _, slot_features, _ = _KINDS[kind]
+    f = slot_features(flat)
+    leading = jax.tree_util.tree_leaves(samples)[0].shape[:2]
+    return f.reshape(*leading, f.shape[-1])
+
+
+_KINDS = {
+    "crosswire": (_crosswire_fit_slots, 4, _vote_rows_crosswire,
+                  _features_crosswire, _slot_features_crosswire, 20),
+    "pointer": (_pointer_fit_slots, 3, _vote_rows_pointer,
+                _features_pointer, _slot_features_pointer, 17),
+}
+
+
+def _fit_vote_chunk(kind, delta_sq, slot, feats):
+    fit, k, vote_rows, _, _, _ = _KINDS[kind]
+    params, valid = fit(slot, k)
+    d2 = None
+    for a_j in vote_rows(params):
+        e = _split3_matmul(a_j, feats)
+        d2 = e * e if d2 is None else d2 + e * e
+    counts = jnp.sum(d2 < delta_sq, axis=-1)
+    return jnp.where(valid, counts, -1), params
+
+
+def _chunk_size(bsz, n):
+    # ~4M residual cells per chunk keeps the [chunk, n] vote tile VMEM-sized.
+    return min(bsz, max(256, (1 << 22) // max(n, 1)))
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "delta_sq", "chunk"))
+def _fit_and_vote_planes(kind, delta_sq, chunk, planes, feats):
+    """planes: [k, F, B] sampling planes (B on lanes)."""
+    nparams = _KINDS[kind][5]
+    nc = planes.shape[-1] // chunk
+    chunked = jnp.moveaxis(
+        planes.reshape(*planes.shape[:-1], nc, chunk), -2, 0
+    )  # [nc, k, F, chunk]
+
+    def step(pl_chunk):
+        return _fit_vote_chunk(
+            kind, delta_sq, lambda a, f: pl_chunk[a, f], feats
+        )
+
+    counts, params = jax.lax.map(step, chunked)
+    return counts.reshape(-1), params.reshape(-1, nparams)
+
+
+def _structured_shifts(n: int, k: int, groups: int):
+    """The exact shift scheme of ``sampling.structured_samples`` (static,
+    derived from (groups, k)) so the planar sweep evaluates the identical
+    hypothesis set."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234567 + groups * 1000003 + k)
+    shifts = []
+    for _ in range(groups):
+        pool = rng.choice(np.arange(1, n), size=k - 1, replace=False)
+        shifts.append([0] + sorted(int(s) for s in pool))
+    return shifts
+
+
+def structured_sweep(kind, est, data, key, groups: int):
+    """Zero-materialization structured hypothesize+vote.
+
+    Permutation + static rolls build the sampling planes in planar
+    ``[k, F, groups * n]`` form (batch on the LANES — a ``[B, k, 3, 3]``
+    sample pytree pads its trailing dims to (8, 128) tiles and its HBM
+    round-trip costs ~10x the whole fit+vote).  The hypothesis set is
+    IDENTICAL to ``sampling.structured_samples`` with the same key/groups.
+    Returns ``(counts int32[B], params f32[B, P])``.
+    """
+    fit, k, _, features, slot_features, _ = _KINDS[kind]
+    feats_elem = slot_features(data)          # [n, F]
+    feats_vote = features(data)               # [n, K]
+    n = feats_elem.shape[0]
+    perm = jax.random.permutation(key, n)
+    planar = feats_elem[perm].T               # [F, n]
+    slots = []
+    for shifts in _structured_shifts(n, k, groups):
+        slots.append(
+            jnp.stack(
+                [jnp.roll(planar, -s, axis=1) for s in shifts], axis=0
+            )
+        )                                     # [k, F, n]
+    planes = jnp.concatenate(slots, axis=-1)  # [k, F, groups * n]
+    chunk = _chunk_size(planes.shape[-1], n)
+    # groups * n is a multiple of n and chunk divides it by construction
+    # only when chunk | n or n | chunk; pad up to the next chunk multiple.
+    bsz = planes.shape[-1]
+    padded = -(-bsz // chunk) * chunk
+    if padded != bsz:
+        planes = jnp.concatenate(
+            [planes, planes[..., : padded - bsz]], axis=-1
+        )
+    counts, params = _fit_and_vote_planes(
+        kind, float(est.delta_squared), chunk, planes, feats_vote
+    )
+    return counts[:bsz], params[:bsz]
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "delta_sq", "chunk"))
+def _fit_and_vote_samples(kind, delta_sq, chunk, slot_feats, feats):
+    """slot_feats: [B, k, F] materialized samples (parity/test path)."""
+    nparams = _KINDS[kind][5]
+    nc = slot_feats.shape[0] // chunk
+    chunked = slot_feats.reshape(nc, chunk, *slot_feats.shape[1:])
+
+    def step(sf):
+        return _fit_vote_chunk(
+            kind, delta_sq, lambda a, f: sf[:, a, f], feats
+        )
+
+    counts, params = jax.lax.map(step, chunked)
+    return counts.reshape(-1), params.reshape(-1, nparams)
+
+
+def fit_and_vote(kind, est, samples, data):
+    """Batched hypothesize+vote on MATERIALIZED samples (the engine's
+    ``fit_and_vote`` hook; the throughput path is :func:`structured_sweep`).
+
+    ``samples``: estimator data pytree with leading ``[B, k]``; returns
+    ``(counts int32[B], params f32[B, P])``.  Chunked internally; B is
+    padded to a chunk multiple (padding rows computed and discarded).
+    """
+    _, _, _, features, _, _ = _KINDS[kind]
+    slot_feats = _samples_to_slot_features(kind, samples)
+    feats = features(data)
+    n = feats.shape[0]
+    bsz = slot_feats.shape[0]
+    chunk = _chunk_size(bsz, n)
+    padded = -(-bsz // chunk) * chunk
+    if padded != bsz:
+        slot_feats = jnp.concatenate(
+            [
+                slot_feats,
+                jnp.broadcast_to(
+                    slot_feats[:1], (padded - bsz, *slot_feats.shape[1:])
+                ),
+            ]
+        )
+    counts, params = _fit_and_vote_samples(
+        kind, float(est.delta_squared), chunk, slot_feats, feats
+    )
+    return counts[:bsz], params[:bsz]

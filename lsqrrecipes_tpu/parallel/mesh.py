@@ -1,5 +1,6 @@
 """Mesh construction and multi-host initialization helpers."""
 
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -12,19 +13,28 @@ def initialize_distributed(
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
 ):
-    """Initialize JAX's multi-host runtime (no-op for single-process runs).
+    """Initialize JAX's multi-host runtime.
 
     On a TPU pod slice the arguments are auto-detected from the environment;
-    pass them explicitly for CPU/GPU clusters.
+    pass them explicitly for CPU/GPU clusters.  With explicit arguments any
+    failure RAISES (a misconfigured multi-host job must not silently degrade
+    to single-process); with no arguments a failed auto-detection warns and
+    continues single-process (the common laptop/single-chip case).
     """
     if jax.process_count() > 1:
         return  # already initialized
     if coordinator_address is None and num_processes is None:
         try:
             jax.distributed.initialize()
-        except Exception:
-            pass  # single-process environment
+        except Exception as e:
+            warnings.warn(
+                "jax.distributed auto-initialization unavailable; continuing "
+                f"single-process ({type(e).__name__}: {e})",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     else:
+        # Explicit cluster spec: propagate errors to the caller.
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

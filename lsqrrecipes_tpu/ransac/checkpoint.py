@@ -78,6 +78,12 @@ def resumable_sweep(
     """
     from lsqrrecipes_tpu.ransac.engine import _data_size, _sample, hypothesize_and_vote
 
+    # Multi-host runs: every process executes the same deterministic sweep
+    # (same key stream), but only process 0 writes the checkpoint; all
+    # processes read it on resume (shared-filesystem convention, matching
+    # orbax's single-writer default).
+    writer = jax.process_index() == 0
+
     n = _data_size(data)
     state = load_state(checkpoint_path) if checkpoint_path else None
     if state is None:
@@ -95,8 +101,8 @@ def resumable_sweep(
             )
         state = state._replace(key=key, evaluated=state.evaluated + b)
         rounds += 1
-        if checkpoint_path and rounds % checkpoint_every == 0:
+        if writer and checkpoint_path and rounds % checkpoint_every == 0:
             save_state(checkpoint_path, state)
-    if checkpoint_path:
+    if writer and checkpoint_path:
         save_state(checkpoint_path, state)
     return state

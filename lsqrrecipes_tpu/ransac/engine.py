@@ -112,21 +112,28 @@ def hypothesize_and_vote_structured(est, data, key, groups):
     Builds ``groups * n`` hypotheses with
     :func:`~lsqrrecipes_tpu.ransac.sampling.structured_samples` (permutation
     + rolls — no [B, k] gather, no per-index threefry), then fits and votes.
-    Estimators may provide a fully fused
-    ``fit_and_vote(samples, data) -> (counts[B], params[B, P])`` hook (e.g.
-    the sphere Pallas kernel); otherwise the vmapped minimal fit +
-    ``vote_counts`` path runs.
+    Estimators may provide hooks, in priority order:
+
+      * ``structured_sweep(data, key, groups) -> (counts[B], params[B, P])``
+        — owns its own (equivalent) sampling, so the sample pytree is never
+        materialized (e.g. the US-calibration planar-lane path);
+      * ``fit_and_vote(samples, data) -> (counts[B], params[B, P])`` — fully
+        fused fit+vote on materialized samples;
+      * otherwise the vmapped minimal fit + ``vote_counts`` path runs.
     """
-    samples = structured_samples(key, data, est.k, groups)
-    if hasattr(est, "fit_and_vote"):
-        counts, params = est.fit_and_vote(samples, data)
+    if hasattr(est, "structured_sweep"):
+        counts, params = est.structured_sweep(data, key, groups)
     else:
-        params, valid = jax.vmap(est.minimal_fit)(samples)
-        if hasattr(est, "vote_counts"):
-            counts = est.vote_counts(params, data)
+        samples = structured_samples(key, data, est.k, groups)
+        if hasattr(est, "fit_and_vote"):
+            counts, params = est.fit_and_vote(samples, data)
         else:
-            counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data)))(params)
-        counts = jnp.where(valid, counts, -1)
+            params, valid = jax.vmap(est.minimal_fit)(samples)
+            if hasattr(est, "vote_counts"):
+                counts = est.vote_counts(params, data)
+            else:
+                counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data)))(params)
+            counts = jnp.where(valid, counts, -1)
     best = jnp.argmax(counts)
     best_params = params[best]
     best_mask = est.agree(best_params, data)

@@ -321,3 +321,67 @@ def test_plane_phantom_ransac_outliers():
     assert float(res.inlier_fraction) > 0.7
     assert int(jnp.sum(res.consensus[-n_out:])) == 0
     _check_plane_phantom(res.params, true, trans_eps=3.0, ang_eps=np.radians(5.0))
+
+
+# --------------------------------------------------------------------------
+# Batched fast-hypothesize path (ops/us_fast.py): f64 normal-equation
+# Cholesky fits + Newton-polar orthonormalization + f32 matmul votes.
+# --------------------------------------------------------------------------
+
+from lsqrrecipes_tpu.ransac import ransac_structured
+from lsqrrecipes_tpu.ransac.sampling import structured_samples
+
+
+@pytest.mark.parametrize("kind", ["crosswire", "pointer"])
+def test_us_fast_path_counts_match_f64(kind):
+    """fit_and_vote counts agree with the f64 vmapped minimal_fit + agree
+    path on the identical hypothesis set (border flips allowed)."""
+    if kind == "crosswire":
+        noisy, _, _ = make_crosswire_data(jax.random.PRNGKey(0), n=64)
+        est = CrosswireUSCalibrationEstimator(delta=3.0)
+    else:
+        noisy, _, _ = make_pointer_data(jax.random.PRNGKey(3), n=64)
+        est = PointerUSCalibrationEstimator(delta=3.0)
+    samples = structured_samples(jax.random.PRNGKey(1), noisy, est.k, 4)
+    counts, params = est.fit_and_vote(samples, noisy)
+    p64, v64 = jax.vmap(est.minimal_fit)(samples)
+    c64 = jnp.where(
+        v64, jax.vmap(lambda p: jnp.sum(est.agree(p, noisy)))(p64), -1
+    )
+    assert int(jnp.max(jnp.abs(counts - c64))) <= 2
+    assert int(jnp.max(counts)) == int(jnp.max(c64))
+
+
+def test_crosswire_structured_ransac_outliers():
+    """End-to-end structured driver (fast path) with 30% corrupted poses."""
+    (noisy, clean, true) = make_crosswire_data(jax.random.PRNGKey(20), n=64, sigma=0.5)
+    frames, q = noisy
+    n_out = 64 * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    bad_t = frames.t[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    frames = Frame(frames.r, frames.t.at[-n_out:].set(bad_t))
+
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    res = ransac_structured(est, (frames, q), jax.random.PRNGKey(22), num_hypotheses=2048)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    _check_crosswire(res.params, true)
+
+
+def test_pointer_structured_ransac_outliers():
+    (noisy, clean, true) = make_pointer_data(jax.random.PRNGKey(23), n=64, sigma=0.5)
+    frames, q, p = noisy
+    n_out = 64 * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(24))
+    bad_p = p[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    p = p.at[-n_out:].set(bad_p)
+
+    est = PointerUSCalibrationEstimator(delta=3.0)
+    res = ransac_structured(est, (frames, q, p), jax.random.PRNGKey(25), num_hypotheses=2048)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    _check_pointer(res.params, true)
