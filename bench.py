@@ -192,14 +192,15 @@ def bench_dense(args):
 def bench_us(args):
     """Crosswire-US-calibration RANSAC throughput vs serial C++.
 
-    TPU path: the zero-materialization planar-lane structured sweep
-    (ops/us_fast.py): permutation + static rolls build [k, F, B] sampling
-    planes with the batch on the lanes, lanes-form f32 Householder QR
-    minimal fits, Newton-polar orthonormalization, and the compact
-    R2-orthogonality matmul vote in 3-pass bf16-split products.  The C++
-    baseline (native/us_baseline.cpp) runs the equivalent pipeline serially
-    with the reference's early-exit vote loop — favored vs the reference's
-    12x12 SVD per hypothesis, so the ratio is conservative.
+    TPU path (``--path fused_sweep``, default): the whole sweep as ONE
+    Pallas kernel (ops/fused_sweep.py "crosswire" family) — in-kernel
+    lanes-form f32 Householder QR minimal fits, Newton-polar
+    orthonormalization, R2-orthogonality band vote via 3-pass bf16-split
+    products, SMEM best accumulation.  ``--path scan``: the XLA
+    planar-lane structured sweep (ops/us_fast.py).  The C++ baseline
+    (native/us_baseline.cpp) runs the equivalent pipeline serially with the
+    reference's early-exit vote loop — favored vs the reference's 12x12 SVD
+    per hypothesis, so the ratio is conservative.
     """
     import jax
     import jax.numpy as jnp
@@ -236,19 +237,41 @@ def bench_us(args):
     data = (Frame(r2, t2), q)
 
     est = CrosswireUSCalibrationEstimator(delta=3.0)
-    groups_per_step = max(1, min(16, args.hypotheses // n // 4))
-    steps = max(1, args.hypotheses // (groups_per_step * n))
     reps = 4
+    if args.path == "fused_sweep":
+        from lsqrrecipes_tpu.ops import fused_sweep as fs
 
-    @jax.jit
-    def sweeps(seed0):
-        def body(carry, i):
-            k = jax.random.fold_in(jax.random.PRNGKey(17), seed0 + i)
-            counts, _ = est.structured_sweep(data, k, groups_per_step)
-            return carry, jnp.max(counts)
+        total_groups = max(1, (args.hypotheses // n)) * args.steps // 4
+        hyp_per_sweep = total_groups * n
 
-        _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
-        return counts
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                count, _ = fs.fused_sweep(
+                    "crosswire", data,
+                    jax.random.fold_in(jax.random.PRNGKey(0), seed0 + i),
+                    total_groups, est.delta,
+                )
+                return carry, count
+
+            _, counts = jax.lax.scan(body, 0, jnp.arange(reps))
+            return counts
+    else:
+        groups_per_step = max(1, min(16, args.hypotheses // n // 4))
+        steps = max(1, args.hypotheses // (groups_per_step * n))
+        hyp_per_sweep = steps * groups_per_step * n
+
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                k = jax.random.fold_in(jax.random.PRNGKey(17), seed0 + i)
+                counts, _ = est.structured_sweep(data, k, groups_per_step)
+                return carry, jnp.max(counts)
+
+            _, counts = jax.lax.scan(
+                body, 0, jnp.arange(reps * steps)
+            )
+            return counts
 
     np.array(sweeps(0))
     elapsed = None
@@ -259,7 +282,7 @@ def bench_us(args):
         assert (counts > (4 * n) // 5 - n // 10).all(), "US sweeps missed the structure"
         elapsed = t if elapsed is None else min(elapsed, t)
 
-    tpu_hps = steps * groups_per_step * n / elapsed
+    tpu_hps = hyp_per_sweep / elapsed
     print(
         json.dumps(
             {

@@ -270,7 +270,10 @@ def ransac_adaptive(
     while evaluated < budget:
         key, sub = jax.random.split(key)
         b = min(batch_size, budget - evaluated)
-        idx = sample_k_subsets(sub, n, est.k, b)
+        # "auto" switches to O(b*k)-memory with-replacement sampling at
+        # large b*n (duplicate rows self-mask as degenerate), same as the
+        # fixed-budget driver.
+        idx = _sample(sub, n, est.k, b, "auto")
         count, mask, params = hypothesize_and_vote(est, data, idx)
         evaluated += b
         if int(count) > best_count:

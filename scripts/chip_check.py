@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from lsqrrecipes_tpu.estimators import (
     ALGEBRAIC,
     AbsoluteOrientationEstimator,
+    CrosswireUSCalibrationEstimator,
     DenseLinearSystemEstimator,
     Line2DEstimator,
     LineEstimator,
@@ -147,6 +148,37 @@ def _ray_bundle(key, n):
     return Ray3D(jnp.asarray(p, jnp.float32), jnp.asarray(d, jnp.float32))
 
 
+def _crosswire_data(key, n):
+    """Crosswire workload: known calibration, 20% corrupted poses."""
+    from lsqrrecipes_tpu.estimators.us_calibration import _euler_zyx_matrix
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    m_x, m_y = 0.143, 0.139
+    r3 = _euler_zyx_matrix(1.1, 0.4, -0.7)
+    t3 = jnp.asarray([20.0, -15.0, 40.0])
+    t1 = jnp.asarray([30.0, 76.0, -58.0])
+    q = jax.random.uniform(k1, (n, 2)) * jnp.asarray([640.0, 480.0])
+    w2 = jax.random.uniform(k2, (n, 3), minval=0.0, maxval=jnp.pi)
+    r2 = jax.vmap(lambda w: _euler_zyx_matrix(w[2], w[1], w[0]))(w2)
+    img = q[:, 0:1] * (m_x * r3[:, 0]) + q[:, 1:2] * (m_y * r3[:, 1]) + t3
+    t2 = t1 - jnp.einsum("nij,nj->ni", r2, img)
+    n_out = n // 5
+    bad = t2[-n_out:] + (30.0 + 50.0 * jax.random.uniform(k3, (n_out, 3))) * jnp.sign(
+        jax.random.normal(k4, (n_out, 3))
+    )
+    t2 = t2.at[-n_out:].set(bad)
+    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    return (Frame(r2, t2), q)
+
+
+def _crosswire_from_features(feats):
+    f = jnp.asarray(feats, jnp.float64)
+    return (
+        Frame(f[..., 0:9].reshape(*feats.shape[:-1], 3, 3), f[..., 9:12]),
+        f[..., 12:14],
+    )
+
+
 def _frames_from_features(feats):
     return Frame(
         jnp.asarray(feats[..., 0:9], jnp.float64).reshape(*feats.shape[:-1], 3, 3),
@@ -214,6 +246,12 @@ FAMILIES = {
         lambda: DenseLinearSystemEstimator(delta=0.05, n=6),
         lambda s: jnp.asarray(s, jnp.float64),
         2,
+    ),
+    "crosswire": (
+        lambda: _crosswire_data(jax.random.PRNGKey(9), 1024),
+        lambda: CrosswireUSCalibrationEstimator(delta=3.0),
+        _crosswire_from_features,
+        3,
     ),
 }
 

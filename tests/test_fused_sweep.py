@@ -538,3 +538,75 @@ def test_fused_sweep_dense6_pad_columns_never_vote(interpret_pallas):
     bc, bp = fs.fused_sweep("dense_linear6", rows, jax.random.PRNGKey(7), 6, 0.05)
     achieved = int(jnp.sum(est.agree(jnp.asarray(bp, rows.dtype), rows)))
     assert abs(achieved - int(bc)) <= 1, (int(bc), achieved)
+
+
+def test_fused_sweep_crosswire_matches_reference(interpret_pallas):
+    """US crosswire family: in-kernel QR fit + polar orthonormalization +
+    R2-orthogonality band vote vs the f64 estimator path on the identical
+    hypothesis set."""
+    from tests.test_us_calibration import make_crosswire_data
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        CrosswireUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.geometry import Frame
+
+    n = 256
+    noisy, _, true = make_crosswire_data(jax.random.PRNGKey(0), n=n, sigma=0.5)
+    frames, q = noisy
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    bad_t = frames.t[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    data = (Frame(frames.r, frames.t.at[-n_out:].set(bad_t)), q)
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+
+    assert fs.supports_data("crosswire", data)
+    bc, bp = fs.fused_sweep("crosswire", data, jax.random.PRNGKey(7), 6, est.delta)
+
+    feats = fs.reference_samples("crosswire", data, jax.random.PRNGKey(7), 6)
+    samples = (
+        Frame(
+            jnp.asarray(feats[..., 0:9], jnp.float64).reshape(-1, 4, 3, 3),
+            jnp.asarray(feats[..., 9:12], jnp.float64),
+        ),
+        jnp.asarray(feats[..., 12:14], jnp.float64),
+    )
+    p64, v64 = jax.vmap(est.minimal_fit)(samples)
+    counts = jax.vmap(lambda p: jnp.sum(est.agree(p, data)))(p64)
+    cref = int(jnp.max(jnp.where(v64, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), data)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > n // 2  # found the 70% consensus
+
+
+def test_engine_fused_driver_crosswire(interpret_pallas):
+    """ransac_fused_sweep end-to-end on the crosswire estimator recovers the
+    planted calibration at reference tolerances."""
+    import numpy as np
+
+    from tests.test_us_calibration import (
+        _check_crosswire,
+        make_crosswire_data,
+    )
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        CrosswireUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.geometry import Frame
+
+    n = 256
+    noisy, _, true = make_crosswire_data(jax.random.PRNGKey(3), n=n, sigma=0.5)
+    frames, q = noisy
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    bad_t = frames.t[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    data = (Frame(frames.r, frames.t.at[-n_out:].set(bad_t)), q)
+
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    res = ransac_fused_sweep(est, data, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    _check_crosswire(res.params, true)
