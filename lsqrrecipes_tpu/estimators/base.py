@@ -57,6 +57,23 @@ class Estimator:
     def agree(self, params, data) -> jnp.ndarray:
         raise NotImplementedError
 
+    def lsq_fit_batched(self, data, mask: Optional[jnp.ndarray] = None):
+        """``lsq_fit`` vmapped over a leading problem axis.
+
+        One XLA program runs B independent least-squares refits — for the
+        ITERATIVE estimators that is B Levenberg-Marquardt solves advancing
+        in lockstep (``linalg/lm.py`` is a fixed-shape ``while_loop``
+        specifically so it vmaps; the reference runs vnl_levenberg_marquardt
+        once per problem, ``SinglePointTarget...cxx:272-297``).  ``data``:
+        the estimator's pytree with an extra leading axis ``[B, n, ...]``;
+        ``mask``: optional ``[B, n]``.  Returns ``(params[B, P], valid[B])``.
+        """
+        import jax
+
+        if mask is None:
+            return jax.vmap(lambda d: self.lsq_fit(d))(data)
+        return jax.vmap(self.lsq_fit)(data, mask)
+
     # -- optional distributed-refit hooks -----------------------------------
     def lsq_stats(self, data, mask: Optional[jnp.ndarray] = None) -> Any:
         raise NotImplementedError(

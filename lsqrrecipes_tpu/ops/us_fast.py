@@ -216,6 +216,161 @@ def _pointer_fit_slots(slot, k: int):
 
 
 # ---------------------------------------------------------------------------
+# Plane phantom (k = 31): batched homogeneous null-vector fit
+# ---------------------------------------------------------------------------
+#
+# The reference computes the null vector of the homogeneous 31x31 system by
+# SVD per sample (``PlanePhantomUSCalibrationParametersEstimator.cxx:137-355``);
+# vmapping that f64 SVD serializes into LinAlg custom calls.  Here the null
+# direction comes from INVERSE ITERATION on the shifted normal matrix
+# ``G = A^T A + lambda I``: one batched matmul, one batched Cholesky, and a
+# fixed number of batched triangular solves — no SVD, no convergence loop,
+# everything pipelined across the batch by XLA.
+#
+# The fit runs in the DATA dtype (f64 under the engine) rather than the f32
+# used everywhere else in this module, and that is deliberate: at reference
+# noise levels the (equilibrated) spectrum has sigma_31 ~ 3e-4 with gap
+# sigma_30 - sigma_31 ~ 5e-4, so any f32 factorization (backward error
+# ~1e-6 * ||A||) perturbs the null direction by ~1e-2 — which the t2-column
+# scales amplify into millimetres of t3 error and tens of flipped votes
+# (measured).  In f64 the squared spectrum still sits ~8 orders above the
+# rounding floor, so normal equations are safe and the direction matches
+# the reference SVD's to ~1e-9.  Column equilibration is NOT applied: under
+# noise the rescaled system has a genuinely different minimizer, and the
+# reference SVD runs on the raw system.  The vote stays f32.
+#
+# A second, deflated inverse iteration estimates sigma_30 (second-smallest),
+# reproducing the reference's unique-null-space rank gate: duplicate rows
+# from replication padding give a >= 2-dim null space and are rejected.
+
+# The reference's FLT_EPSILON-relative rank gate (``cxx:205-218``):
+# sigma_30 must exceed FLT_EPS * max(sigma_0, 1).  Duplicate-row degeneracy
+# gives sigma_30 ~ dtype-eps * sigma_0, genuine 31-pose samples sit orders
+# of magnitude above the gate.
+_PHANTOM_FLT_EPS = 1.192092896e-07
+
+
+def _phantom_rows_from_slots(slot, k):
+    """``[B, 31, 31]`` homogeneous rows ``[u vec(R2), v vec(R2), vec(R2),
+    t2, 1]`` (``PlanePhantom...cxx:137-203``) from crosswire slot features."""
+    rows = []
+    for a in range(k):
+        r = [slot(a, i) for i in range(9)]
+        t = [slot(a, 9 + i) for i in range(3)]
+        u, v = slot(a, 12), slot(a, 13)
+        one = jnp.ones_like(u)
+        row = [u * ri for ri in r] + [v * ri for ri in r] + r + t + [one]
+        rows.append(jnp.stack(row, axis=-1))      # [B, 31]
+    return jnp.stack(rows, axis=1)                # [B, k, 31]
+
+
+def _plane_phantom_fit_slots(slot, k: int):
+    """Batched k=31 minimal fit -> ``(params[B, 41], valid[B])``.
+
+    Null vector by inverse iteration (see module comment), then the
+    reference's reconstruction (``PlanePhantom...cxx:204-355``) vectorized
+    over the batch: column-group averaging, Newton-polar orthonormalization,
+    gimbal-safe Euler extraction, derived-entry expansion."""
+    from jax.scipy.linalg import solve_triangular
+
+    a = _phantom_rows_from_slots(slot, k)         # [B, k, 31], data dtype
+    # NO column equilibration: under noise the smallest singular vector of a
+    # rescaled system is a DIFFERENT minimizer, and the reference SVD runs on
+    # the raw system (cxx:205-218).  f64 absorbs the squared conditioning.
+    g = jnp.einsum(
+        "bki,bkj->bij", a, a, precision=jax.lax.Precision.HIGHEST
+    )
+    trace = jnp.trace(g, axis1=-2, axis2=-1)
+    lam = (1e3 * jnp.finfo(g.dtype).eps) * jnp.maximum(trace, 1.0)
+    eye = jnp.eye(31, dtype=g.dtype)
+    chol = jnp.linalg.cholesky(g + lam[:, None, None] * eye)
+    chol_ok = jnp.all(jnp.isfinite(chol), axis=(1, 2))
+    chol = jnp.where(chol_ok[:, None, None], chol, eye)
+
+    def inv_apply(v):
+        # (G + lam I)^{-1} v — inverse iteration step toward the smallest
+        # right-singular direction of Ae.
+        w = solve_triangular(chol, v[..., None], lower=True)
+        z = solve_triangular(chol, w, lower=True, trans=1)
+        return z[..., 0]
+
+    def normalize(v):
+        return v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+        )
+
+    def sigma_sq(v):
+        return jnp.einsum("bi,bij,bj->b", v, g, v)
+
+    bsz = a.shape[0]
+    x = jnp.ones((bsz, 31), g.dtype) / jnp.sqrt(31.0)
+    for _ in range(10):
+        x = normalize(inv_apply(x))
+    # Deflated second vector -> sigma_30^2 estimate, plus a power-iteration
+    # sigma_0^2 estimate, reproducing the reference's rank gate
+    # ``s[29] > FLT_EPS * max(s[0], 1)`` (``cxx:205-218`` via
+    # ``us_calibration.py:547``).
+    y = jnp.tile(
+        jnp.asarray([1.0, -1.0], g.dtype), 16
+    )[:31] / jnp.sqrt(31.0)
+    y = jnp.broadcast_to(y, (bsz, 31))
+    for _ in range(6):
+        y = inv_apply(y)
+        y = normalize(y - jnp.sum(x * y, axis=-1, keepdims=True) * x)
+    p = jnp.broadcast_to(
+        jnp.ones((31,), g.dtype) / jnp.sqrt(31.0), (bsz, 31)
+    )
+    for _ in range(3):
+        p = normalize(jnp.einsum("bij,bj->bi", g, p))
+    sig0_sq = sigma_sq(p)
+    rank_ok = sigma_sq(y) > _PHANTOM_FLT_EPS**2 * jnp.maximum(sig0_sq, 1.0)
+
+    xr = x
+    denom = jnp.linalg.norm(xr[:, 27:30], axis=-1)
+    nondeg = denom > 1e-30
+    xr = xr / jnp.where(nondeg, denom, 1.0)[:, None]
+
+    r1 = xr[:, 27:30]                             # R1 row 3 (plane normal)
+    t1_z = xr[:, 30]
+    wy1 = jnp.arctan2(-r1[:, 0], jnp.sqrt(r1[:, 1] ** 2 + r1[:, 2] ** 2))
+    small_angle = 0.008726535498373935
+    half_pi = 1.5707963267948966
+    gimbal = jnp.logical_not(
+        jnp.logical_and(
+            jnp.abs(wy1 - half_pi) > small_angle,
+            jnp.abs(wy1 + half_pi) > small_angle,
+        )
+    )
+    cy1 = jnp.where(gimbal, 1.0, jnp.cos(wy1))
+    wx1 = jnp.where(
+        gimbal, 0.0, jnp.arctan2(r1[:, 1] / cy1, r1[:, 2] / cy1)
+    )
+
+    inv = 1.0 / jnp.where(jnp.abs(r1) > 1e-30, r1, 1.0)
+    c1 = jnp.mean(xr[:, 0:9].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
+    c2 = jnp.mean(xr[:, 9:18].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
+    t3 = jnp.mean(xr[:, 18:27].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
+
+    m_x, m_y, r3, ok = _orthonormalize_lanes(
+        [c1[:, 0], c1[:, 1], c1[:, 2]], [c2[:, 0], c2[:, 1], c2[:, 2]]
+    )
+    wz3, wy3, wx3 = euler_zyx_plus_lanes(r3)
+    col0 = [r3[i][0] for i in range(3)]
+    col1 = [r3[i][1] for i in range(3)]
+    m1 = [m_x * r1[:, j] * col0[c] for j in range(3) for c in range(3)]
+    m2 = [m_y * r1[:, j] * col1[c] for j in range(3) for c in range(3)]
+    m3 = [r1[:, j] * t3[:, c] for j in range(3) for c in range(3)]
+    cols = (
+        [wy1, wx1, t1_z, t3[:, 0], t3[:, 1], t3[:, 2], wz3, wy3, wx3, m_x, m_y]
+        + m1 + m2 + m3 + [r1[:, 0], r1[:, 1], r1[:, 2]]
+    )
+    valid = jnp.logical_and(
+        jnp.logical_and(chol_ok, rank_ok), jnp.logical_and(nondeg, ok)
+    )
+    return jnp.stack(cols, axis=-1), valid
+
+
+# ---------------------------------------------------------------------------
 # Compact votes (R2-orthogonality form)
 # ---------------------------------------------------------------------------
 
@@ -297,6 +452,32 @@ def _vote_rows_pointer(params):
     return rows
 
 
+def _features_phantom(data):
+    """``[n, 31]`` f32 = ``[u vec(R2) 9, v vec(R2) 9, vec(R2) 9, t2 3, 1]``
+    (the f32 twin of ``us_calibration._crosswire_features``)."""
+    frames, q = data
+    f32 = jnp.float32
+    r2 = jnp.asarray(frames.r, f32).reshape(-1, 9)
+    t2 = jnp.asarray(frames.t, f32)
+    q32 = jnp.asarray(q, f32)
+    return jnp.concatenate(
+        [
+            q32[:, 0:1] * r2,
+            q32[:, 1:2] * r2,
+            r2,
+            t2,
+            jnp.ones((q32.shape[0], 1), f32),
+        ],
+        axis=-1,
+    )
+
+
+def _vote_rows_phantom(params):
+    """Single scalar residual: ``a[B, 31] = [m1, m2, m3, r1_row3, t1_z]``
+    (``PlanePhantom...cxx:73-117``)."""
+    return [jnp.concatenate([params[:, 11:41], params[:, 2:3]], axis=-1)]
+
+
 # Per-element slot-feature builders ([n, F], f32).
 def _slot_features_crosswire(data):
     frames, q = data
@@ -325,6 +506,16 @@ def _slot_features_pointer(data):
     )
 
 
+def _slot_features_phantom(data):
+    """Crosswire slot layout but PRESERVING the input dtype: the k=31 fit
+    deliberately runs in the engine's f64 (see the plane-phantom section
+    comment) while the vote features stay f32."""
+    frames, q = data
+    return jnp.concatenate(
+        [frames.r.reshape(-1, 9), frames.t, q], axis=-1
+    )
+
+
 def _samples_to_slot_features(kind, samples):
     """Materialized engine samples (pytree with leading [B, k]) -> the same
     [B, k, F] slot-feature layout the planar sweep uses."""
@@ -342,6 +533,9 @@ _KINDS = {
                   _features_crosswire, _slot_features_crosswire, 20),
     "pointer": (_pointer_fit_slots, 3, _vote_rows_pointer,
                 _features_pointer, _slot_features_pointer, 17),
+    # plane phantom shares the crosswire slot layout (same data pytree)
+    "plane_phantom": (_plane_phantom_fit_slots, 31, _vote_rows_phantom,
+                      _features_phantom, _slot_features_phantom, 41),
 }
 
 
@@ -349,16 +543,19 @@ def _fit_vote_chunk(kind, delta_sq, slot, feats):
     fit, k, vote_rows, _, _, _ = _KINDS[kind]
     params, valid = fit(slot, k)
     d2 = None
-    for a_j in vote_rows(params):
+    # The plane-phantom fit returns f64 params; the vote always runs f32.
+    for a_j in vote_rows(params.astype(feats.dtype)):
         e = _split3_matmul(a_j, feats)
         d2 = e * e if d2 is None else d2 + e * e
     counts = jnp.sum(d2 < delta_sq, axis=-1)
     return jnp.where(valid, counts, -1), params
 
 
-def _chunk_size(bsz, n):
-    # ~4M residual cells per chunk keeps the [chunk, n] vote tile VMEM-sized.
-    return min(bsz, max(256, (1 << 22) // max(n, 1)))
+def _chunk_size(bsz, n, k=4):
+    # ~4M residual cells per chunk keeps the [chunk, n] vote tile VMEM-sized;
+    # the k*k bound keeps the plane-phantom [chunk, 31, 31] normal matrices
+    # (and their Cholesky workspace) similarly bounded.
+    return min(bsz, max(256, (1 << 22) // max(n, k * k)))
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "delta_sq", "chunk"))
@@ -417,7 +614,7 @@ def structured_sweep(kind, est, data, key, groups: int):
             )
         )                                     # [k, F, n]
     planes = jnp.concatenate(slots, axis=-1)  # [k, F, groups * n]
-    chunk = _chunk_size(planes.shape[-1], n)
+    chunk = _chunk_size(planes.shape[-1], n, k)
     # groups * n is a multiple of n and chunk divides it by construction
     # only when chunk | n or n | chunk; pad up to the next chunk multiple.
     bsz = planes.shape[-1]
@@ -461,7 +658,7 @@ def fit_and_vote(kind, est, samples, data):
     feats = features(data)
     n = feats.shape[0]
     bsz = slot_feats.shape[0]
-    chunk = _chunk_size(bsz, n)
+    chunk = _chunk_size(bsz, n, _KINDS[kind][1])
     padded = -(-bsz // chunk) * chunk
     if padded != bsz:
         slot_feats = jnp.concatenate(

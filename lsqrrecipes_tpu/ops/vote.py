@@ -32,6 +32,12 @@ def pallas_available():
     if not _HAS_PALLAS:
         return False
     try:
+        # Respect an explicit CPU/GPU default device (the test/dev story on
+        # machines where the TPU plugin is always registered): Mosaic only
+        # lowers for the device the computation actually runs on.
+        dev = jax.config.jax_default_device
+        if dev is not None:
+            return dev.platform in ("tpu", "axon")
         return any(d.platform in ("tpu", "axon") for d in jax.devices())
     except Exception:  # pragma: no cover
         return False

@@ -332,13 +332,16 @@ from lsqrrecipes_tpu.ransac import ransac_structured
 from lsqrrecipes_tpu.ransac.sampling import structured_samples
 
 
-@pytest.mark.parametrize("kind", ["crosswire", "pointer"])
+@pytest.mark.parametrize("kind", ["crosswire", "pointer", "plane_phantom"])
 def test_us_fast_path_counts_match_f64(kind):
     """fit_and_vote counts agree with the f64 vmapped minimal_fit + agree
     path on the identical hypothesis set (border flips allowed)."""
     if kind == "crosswire":
         noisy, _, _ = make_crosswire_data(jax.random.PRNGKey(0), n=64)
         est = CrosswireUSCalibrationEstimator(delta=3.0)
+    elif kind == "plane_phantom":
+        noisy, _, _ = make_plane_phantom_data(jax.random.PRNGKey(0), n=64)
+        est = PlanePhantomUSCalibrationEstimator(delta=1.0)
     else:
         noisy, _, _ = make_pointer_data(jax.random.PRNGKey(3), n=64)
         est = PointerUSCalibrationEstimator(delta=3.0)
@@ -385,3 +388,67 @@ def test_pointer_structured_ransac_outliers():
     assert bool(res.valid)
     assert float(res.inlier_fraction) > 0.6
     _check_pointer(res.params, true)
+
+
+def test_plane_phantom_structured_ransac_outliers():
+    """End-to-end k=31 fast path (``examples/planeUSCalibration.cxx:74``
+    workload): 15% of poses pushed off the phantom plane.  Same budget
+    arithmetic as the generic-path test above: 0.85^31 ~ 0.65% clean-sample
+    probability, so 16384 hypotheses expect ~107 clean samples."""
+    (noisy, clean, true) = make_plane_phantom_data(
+        jax.random.PRNGKey(26), n=64, sigma=0.5
+    )
+    frames, q = noisy
+    n_out = 64 * 15 // 100
+    k1, k2 = jax.random.split(jax.random.PRNGKey(27))
+    shift = jax.random.uniform(
+        k1, (n_out, 1), minval=20.0, maxval=60.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 1)))
+    bad_t = frames.t[-n_out:] + shift * true["r1_row3"]
+    frames = Frame(frames.r, frames.t.at[-n_out:].set(bad_t))
+
+    est = PlanePhantomUSCalibrationEstimator(delta=2.0)
+    res = ransac_structured(
+        est, (frames, q), jax.random.PRNGKey(28), num_hypotheses=16384
+    )
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.7
+    assert int(jnp.sum(res.consensus[-n_out:])) == 0
+    _check_plane_phantom(res.params, true, trans_eps=3.0, ang_eps=np.radians(5.0))
+
+
+def test_us_batched_lsq_fit_matches_per_problem():
+    """``lsq_fit_batched`` (vmapped LM, SURVEY §2.7 'LM inner-step
+    parallelism'): B independent ITERATIVE crosswire refits in one XLA
+    program must match B sequential ``lsq_fit`` calls."""
+    B = 4
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    datasets = [
+        make_crosswire_data(jax.random.PRNGKey(40 + i), n=32)[0]
+        for i in range(B)
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *datasets
+    )
+    masks = jnp.stack(
+        [jnp.arange(32) % (i + 3) != 0 for i in range(B)]
+    )  # distinct per-problem masks
+    pb, vb = est.lsq_fit_batched(stacked, masks)
+    assert pb.shape == (B, est.nparams_lsq) and bool(jnp.all(vb))
+    for i in range(B):
+        p1, v1 = est.lsq_fit(datasets[i], masks[i])
+        assert bool(v1)
+        np.testing.assert_allclose(pb[i], p1, rtol=1e-8, atol=1e-8)
+
+
+def test_plane_phantom_fast_path_rejects_degenerate_samples():
+    """Duplicate-observation samples (the replication-padding degeneracy)
+    must be gated invalid (counts == -1) by the rank gate."""
+    (noisy, clean, true) = make_plane_phantom_data(jax.random.PRNGKey(29), n=40)
+    frames, q = noisy
+    est = PlanePhantomUSCalibrationEstimator(delta=1.0)
+    # every sample = one observation repeated 31 times
+    idx = jnp.tile(jnp.arange(8)[:, None], (1, est.k))
+    samples = (Frame(frames.r[idx], frames.t[idx]), q[idx])
+    counts, params = est.fit_and_vote(samples, noisy)
+    assert bool(jnp.all(counts == -1))
