@@ -294,9 +294,77 @@ def check_family(name, total_groups):
     return ok
 
 
+# --------------------------------------------------------------------------
+# XLA fast-path US-calibration families (ops/us_fast.py — not Pallas, but
+# the same interpret-mode blind spot applies to their on-chip numerics:
+# Mosaic isn't involved, yet f64 emulation, DEFAULT-precision dots and the
+# batched Cholesky/QR custom calls all behave differently on the chip).
+# --------------------------------------------------------------------------
+
+US_FAST = ("us_crosswire", "us_pointer", "us_plane_phantom")
+
+
+def check_us_fast(name, groups=4):
+    from tests.test_us_calibration import (
+        make_crosswire_data,
+        make_plane_phantom_data,
+        make_pointer_data,
+    )
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        CrosswireUSCalibrationEstimator,
+        PlanePhantomUSCalibrationEstimator,
+        PointerUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.ransac.sampling import structured_samples
+
+    if name == "us_crosswire":
+        data = make_crosswire_data(jax.random.PRNGKey(0), n=64)[0]
+        est = CrosswireUSCalibrationEstimator(delta=3.0)
+    elif name == "us_pointer":
+        data = make_pointer_data(jax.random.PRNGKey(3), n=64)[0]
+        est = PointerUSCalibrationEstimator(delta=3.0)
+    else:
+        data = make_plane_phantom_data(jax.random.PRNGKey(0), n=64)[0]
+        est = PlanePhantomUSCalibrationEstimator(delta=1.0)
+
+    samples = structured_samples(jax.random.PRNGKey(1), data, est.k, groups)
+    counts, params = est.fit_and_vote(samples, data)   # on the chip
+    counts = jax.device_get(counts)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        data_cpu = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(jax.device_get(a)), data
+        )
+        samples_cpu = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(jax.device_get(a)), samples
+        )
+        p64, v64 = jax.vmap(est.minimal_fit)(samples_cpu)
+        c64 = jax.device_get(
+            jnp.where(
+                v64,
+                jax.vmap(lambda p: jnp.sum(est.agree(p, data_cpu)))(p64),
+                -1,
+            )
+        )
+    import numpy as np
+
+    d = np.abs(np.asarray(counts) - np.asarray(c64))
+    ok = d.max() <= 2 and counts.max() == c64.max() and counts.max() > 0
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} {name}: max|dcount|={d.max()} mean={d.mean():.4f} "
+        f"maxcount chip={counts.max()} f64={c64.max()}",
+        flush=True,
+    )
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--families", nargs="*", default=sorted(FAMILIES))
+    ap.add_argument(
+        "--families", nargs="*", default=sorted(FAMILIES) + list(US_FAST)
+    )
     ap.add_argument("--groups", type=int, default=6)
     args = ap.parse_args()
 
@@ -304,7 +372,12 @@ def main():
     failures = 0
     for name in args.families:
         try:
-            if not check_family(name, args.groups):
+            checker = (
+                (lambda n: check_us_fast(n))
+                if name in US_FAST
+                else (lambda n: check_family(n, args.groups))
+            )
+            if not checker(name):
                 failures += 1
         except Exception as e:  # surface, keep checking the rest
             print(f"FAIL {name}: exception {type(e).__name__}: {e}", flush=True)

@@ -62,6 +62,20 @@ def test_plane_phantom_rank_gate_two_rotations():
     assert not bool(valid)
 
 
+def test_plane_phantom_fast_path_rank_gate_translation_only():
+    """The batched fast path (ops/us_fast.py) must gate the same
+    rank-collapse cases its f64 twin does."""
+    frames, q = _translation_only_poses(jax.random.PRNGKey(3), 40)
+    est = PlanePhantomUSCalibrationEstimator(delta=1.0)
+    idx = jnp.stack(
+        [(jnp.arange(31) + 3 * i) % 40 for i in range(8)]
+    )
+    samples = (Frame(frames.r[idx], frames.t[idx]), q[idx])
+    counts, params = est.fit_and_vote(samples, (frames, q))
+    assert bool(jnp.all(counts == -1))
+    assert bool(jnp.all(jnp.isfinite(params)))
+
+
 def test_crosswire_rank_gate_translation_only():
     frames, q = _translation_only_poses(jax.random.PRNGKey(2), 4)
     est = CrosswireUSCalibrationEstimator(delta=3.0)
