@@ -252,16 +252,61 @@ _PHANTOM_FLT_EPS = 1.192092896e-07
 
 def _phantom_rows_from_slots(slot, k):
     """``[B, 31, 31]`` homogeneous rows ``[u vec(R2), v vec(R2), vec(R2),
-    t2, 1]`` (``PlanePhantom...cxx:137-203``) from crosswire slot features."""
-    rows = []
-    for a in range(k):
-        r = [slot(a, i) for i in range(9)]
-        t = [slot(a, 9 + i) for i in range(3)]
-        u, v = slot(a, 12), slot(a, 13)
-        one = jnp.ones_like(u)
-        row = [u * ri for ri in r] + [v * ri for ri in r] + r + t + [one]
-        rows.append(jnp.stack(row, axis=-1))      # [B, 31]
-    return jnp.stack(rows, axis=1)                # [B, k, 31]
+    t2, 1]`` (``PlanePhantom...cxx:137-203``) from crosswire slot features.
+
+    The Kronecker block ``[u r, v r, r] = [u, v, 1] (x) r`` is built as ONE
+    broadcast multiply: the scalarized 961-op version cost 8 ms of the
+    fit's 62 ms at B=2048 in emulated f64 (measured)."""
+    sf = jnp.stack(
+        [
+            jnp.stack([slot(a, f) for f in range(14)], axis=-1)
+            for a in range(k)
+        ],
+        axis=1,
+    )                                              # [B, k, 14]
+    r = sf[..., 0:9]
+    t = sf[..., 9:12]
+    u = sf[..., 12:13]
+    v = sf[..., 13:14]
+    one = jnp.ones_like(u)
+    w = jnp.concatenate([u, v, one], axis=-1)      # [B, k, 3]
+    a1 = (w[..., :, None] * r[..., None, :]).reshape(*r.shape[:-1], 27)
+    return jnp.concatenate([a1, t, one], axis=-1)  # [B, k, 31]
+
+
+def _tri_inv_lower(l):
+    """Batched lower-triangular inverse by divide-and-conquer.
+
+    ``inv([[A, 0], [C, D]]) = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]`` recursed
+    to 1x1/2x2 base cases: ~2 batched matmuls per level instead of XLA's
+    sequential per-column TriangularSolve scan — the scan is latency-bound
+    in emulated f64 (a 31-column solve cost 24 ms at B=2048; this is ~3 ms)."""
+    m = l.shape[-1]
+    if m == 1:
+        return 1.0 / l
+    if m == 2:
+        a = l[..., 0:1, 0:1]
+        c = l[..., 1:2, 0:1]
+        d = l[..., 1:2, 1:2]
+        ai, di = 1.0 / a, 1.0 / d
+        zero = jnp.zeros_like(c)
+        return jnp.concatenate(
+            [
+                jnp.concatenate([ai, zero], axis=-1),
+                jnp.concatenate([-di * c * ai, di], axis=-1),
+            ],
+            axis=-2,
+        )
+    h = m // 2
+    ai = _tri_inv_lower(l[..., :h, :h])
+    di = _tri_inv_lower(l[..., h:, h:])
+    ci = -jnp.einsum(
+        "...ij,...jk,...kl->...il", di, l[..., h:, :h], ai
+    )
+    top = jnp.concatenate([ai, jnp.zeros_like(l[..., :h, h:])], axis=-1)
+    return jnp.concatenate(
+        [top, jnp.concatenate([ci, di], axis=-1)], axis=-2
+    )
 
 
 def _plane_phantom_fit_slots(slot, k: int):
@@ -271,8 +316,6 @@ def _plane_phantom_fit_slots(slot, k: int):
     reference's reconstruction (``PlanePhantom...cxx:204-355``) vectorized
     over the batch: column-group averaging, Newton-polar orthonormalization,
     gimbal-safe Euler extraction, derived-entry expansion."""
-    from jax.scipy.linalg import solve_triangular
-
     a = _phantom_rows_from_slots(slot, k)         # [B, k, 31], data dtype
     # NO column equilibration: under noise the smallest singular vector of a
     # rescaled system is a DIFFERENT minimizer, and the reference SVD runs on
@@ -287,12 +330,18 @@ def _plane_phantom_fit_slots(slot, k: int):
     chol_ok = jnp.all(jnp.isfinite(chol), axis=(1, 2))
     chol = jnp.where(chol_ok[:, None, None], chol, eye)
 
+    # Explicit (G + lam I)^{-1} = L^{-T} L^{-1} with the triangular inverse
+    # computed by divide-and-conquer matmuls (see :func:`_tri_inv_lower`);
+    # every inverse-iteration step is then a batched matvec.  Per-iteration
+    # TriangularSolves lower to sequential latency-bound scans in emulated
+    # f64 and cost ~10x more (measured).
+    linv = _tri_inv_lower(chol)
+    minv = jnp.einsum("bki,bkj->bij", linv, linv)      # L^{-T} L^{-1}
+
     def inv_apply(v):
         # (G + lam I)^{-1} v — inverse iteration step toward the smallest
         # right-singular direction of Ae.
-        w = solve_triangular(chol, v[..., None], lower=True)
-        z = solve_triangular(chol, w, lower=True, trans=1)
-        return z[..., 0]
+        return jnp.einsum("bij,bj->bi", minv, v)
 
     def normalize(v):
         return v / jnp.maximum(
@@ -304,6 +353,10 @@ def _plane_phantom_fit_slots(slot, k: int):
 
     bsz = a.shape[0]
     x = jnp.ones((bsz, 31), g.dtype) / jnp.sqrt(31.0)
+    # Convergence ratio per step is (sigma31^2+lam)/(sigma30^2+lam) <~ 0.2
+    # at reference noise but degrades on marginal-gap samples; 10 steps
+    # keep the worst measured sample inside the vote's border-flip scale
+    # (8 steps flipped counts).
     for _ in range(10):
         x = normalize(inv_apply(x))
     # Deflated second vector -> sigma_30^2 estimate, plus a power-iteration
@@ -314,13 +367,13 @@ def _plane_phantom_fit_slots(slot, k: int):
         jnp.asarray([1.0, -1.0], g.dtype), 16
     )[:31] / jnp.sqrt(31.0)
     y = jnp.broadcast_to(y, (bsz, 31))
-    for _ in range(6):
+    for _ in range(4):
         y = inv_apply(y)
         y = normalize(y - jnp.sum(x * y, axis=-1, keepdims=True) * x)
     p = jnp.broadcast_to(
         jnp.ones((31,), g.dtype) / jnp.sqrt(31.0), (bsz, 31)
     )
-    for _ in range(3):
+    for _ in range(2):
         p = normalize(jnp.einsum("bij,bj->bi", g, p))
     sig0_sq = sigma_sq(p)
     rank_ok = sigma_sq(y) > _PHANTOM_FLT_EPS**2 * jnp.maximum(sig0_sq, 1.0)

@@ -6,6 +6,7 @@ from lsqrrecipes_tpu.ransac.engine import (
     hypothesize_and_vote,
     ransac,
     ransac_adaptive,
+    ransac_batched,
     ransac_exhaustive,
     ransac_fused_sweep,
     ransac_structured,
@@ -21,6 +22,7 @@ __all__ = [
     "RansacResult",
     "ransac",
     "ransac_adaptive",
+    "ransac_batched",
     "ransac_exhaustive",
     "ransac_fused_sweep",
     "ransac_structured",

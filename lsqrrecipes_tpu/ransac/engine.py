@@ -239,6 +239,54 @@ def ransac(est, data, key, num_hypotheses: int = 4096, sampler: str = "auto") ->
     return _finalize(est, data, best_count, best_mask, best_params, n)
 
 
+def ransac_batched(
+    est, data, keys, num_hypotheses: int = 4096
+) -> RansacResult:
+    """Fleet RANSAC: D independent datasets solved in ONE XLA program.
+
+    ``data``: the estimator's pytree with an extra leading dataset axis
+    ``[D, n, ...]`` (equal n — pad with replicated observations otherwise);
+    ``keys``: ``[D]`` PRNG keys.  Returns a :class:`RansacResult` whose
+    fields all carry the leading ``[D]`` axis.  The per-dataset pipeline is
+    the structured hypothesize+vote (including the estimators'
+    ``structured_sweep`` / ``fit_and_vote`` fast paths — all XLA, so the
+    whole fleet vmaps) followed by a masked consensus refit; for the
+    ITERATIVE estimators that refit is D Levenberg-Marquardt solves
+    advancing in lockstep.  No reference analogue (the C++ library is
+    strictly one problem per call); this is the batch-serving entry point
+    — e.g. calibrating a fleet of US probes in one device program.
+
+    Note: estimators whose ``vote_counts`` dispatches to a Pallas kernel
+    (3D sphere, f32, B % 512 == 0) rely on ``pallas_call``'s vmap batching
+    rule on TPU; everything else lowers to plain batched XLA.
+    """
+    n = _data_size(jax.tree_util.tree_map(lambda a: a[0], data))
+    if n < est.k:
+        raise ValueError(f"need at least k={est.k} observations per dataset")
+    groups = max(1, -(-num_hypotheses // n))
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fleet(data, keys):
+        def one(data_d, key_d):
+            count, mask, params = hypothesize_and_vote_structured(
+                est, data_d, key_d, groups
+            )
+            refit, rvalid = est.lsq_fit(data_d, mask)
+            ok = count > 0
+            return RansacResult(
+                params=refit,
+                valid=jnp.logical_and(rvalid, ok),
+                inlier_fraction=jnp.maximum(count, 0) / n,
+                consensus=mask,
+                best_count=count,
+                minimal_params=params,
+            )
+
+        return jax.vmap(one)(data, keys)
+
+    return fleet(data, keys)
+
+
 def ransac_adaptive(
     est,
     data,

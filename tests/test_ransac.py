@@ -211,3 +211,38 @@ def test_ransac_pivot_outlier_data():
     # Robust consensus refit is self-consistent: all consensus poses agree.
     agree = est.agree(res.params, frames)
     assert int(jnp.sum(agree)) >= int(res.best_count) * 0.8
+
+
+def test_ransac_batched_fleet_matches_per_dataset():
+    """Fleet entry point: D independent crosswire calibrations in one XLA
+    program must reproduce the per-dataset structured pipeline exactly
+    (identical keys -> identical hypothesis sets -> identical winners)."""
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        CrosswireUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.ransac import ransac_batched
+    from tests.test_us_calibration import make_crosswire_data
+
+    D, n = 3, 48
+    datasets = [
+        make_crosswire_data(jax.random.PRNGKey(60 + i), n=n)[0]
+        for i in range(D)
+    ]
+    stacked = jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack(leaves), *datasets
+    )
+    keys = jax.random.split(jax.random.PRNGKey(61), D)
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    fleet = ransac_batched(est, stacked, keys, num_hypotheses=4 * n)
+
+    assert fleet.params.shape == (D, est.nparams_lsq)
+    assert bool(jnp.all(fleet.valid))
+    for i in range(D):
+        single = ransac_structured(
+            est, datasets[i], keys[i], num_hypotheses=4 * n
+        )
+        assert int(fleet.best_count[i]) == int(single.best_count)
+        np.testing.assert_array_equal(fleet.consensus[i], single.consensus)
+        np.testing.assert_allclose(
+            fleet.params[i], single.params, rtol=1e-9, atol=1e-9
+        )
