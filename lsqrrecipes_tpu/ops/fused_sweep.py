@@ -918,6 +918,154 @@ def _crosswire_post(rows):
     )
 
 
+def pointer_fit_vote(delta: float):
+    """Calibrated-pointer US calibration, fully fused (k = 3 images).
+
+    The reference solves the minimal 9x9 system ``[u R2 | v R2 | R2] x =
+    p - t2`` by SVD pseudo-inverse and orthonormalizes the scaled rotation
+    columns (``SinglePointTargetUSCalibrationParametersEstimator.cxx:
+    671-914``).  In-kernel this is the crosswire recipe minus the t1
+    unknowns: lanes-form Householder QR + Newton polar iteration.  The vote
+    uses R2's orthogonality — ``||R2(u c1 + v c2 + t3) + t2 - p||^2 =
+    ||u c1 + v c2 + t3 - w||^2`` with ``w = R2^T (p - t2)`` precomputed per
+    datum — three K=8 3-pass split products over feature rows
+    ``[u, v, 1, w (3), guard]`` (guard = 0 live / 1e30 pad, folded into
+    e_0).  Slot feature rows (17): [vec(R2) 9, t2 3, u, v, p 3].  Kernel
+    param rows (12): [t3 3, c1 3, c2 3, c3 3] — scales and Euler angles are
+    derived host-side for the winner only.
+    """
+    from lsqrrecipes_tpu.linalg.small import qr_solve_lanes
+    from lsqrrecipes_tpu.ops.us_fast import polar3_lanes
+
+    delta_sq = float(delta) * float(delta)
+
+    def fit_vote(slot_row, p):
+        zero = slot_row(12, 0) * 0.0   # derived from loaded data, not a splat
+        one = zero + 1.0
+        rows, rhs = [], []
+        for a in range(3):
+            u, v = slot_row(12, a), slot_row(13, a)
+            for j in range(3):
+                row = [None] * 9
+                for c in range(3):
+                    r_jc = slot_row(3 * j + c, a)
+                    row[c] = u * r_jc
+                    row[3 + c] = v * r_jc
+                    row[6 + c] = r_jc
+                rows.append(row)
+                rhs.append(slot_row(14 + j, a) - slot_row(9 + j, a))
+        x, ok = qr_solve_lanes(rows, rhs)
+
+        # Scales + closest rotation from the raw scaled columns.
+        n1 = x[0] * x[0] + x[1] * x[1] + x[2] * x[2]
+        n2 = x[3] * x[3] + x[4] * x[4] + x[5] * x[5]
+        ok = jnp.logical_and(ok, jnp.logical_and(n1 > 1e-20, n2 > 1e-20))
+        i1 = jax.lax.rsqrt(jnp.maximum(n1, 1e-30))
+        i2 = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+        r1 = [x[i] * i1 for i in range(3)]
+        r2c = [x[3 + i] * i2 for i in range(3)]
+        r3col = [
+            r1[1] * r2c[2] - r1[2] * r2c[1],
+            r1[2] * r2c[0] - r1[0] * r2c[2],
+            r1[0] * r2c[1] - r1[1] * r2c[0],
+        ]
+        raw = [[r1[i], r2c[i], r3col[i]] for i in range(3)]
+        rot, pok = polar3_lanes(raw)
+        degenerate = jnp.logical_not(jnp.logical_and(ok, pok))
+        m_x = n1 * i1
+        m_y = n2 * i2
+        c1 = [m_x * rot[i][0] for i in range(3)]
+        c2 = [m_y * rot[i][1] for i in range(3)]
+        c3 = [rot[i][2] for i in range(3)]
+        t3 = [x[6 + i] for i in range(3)]
+
+        # Vote: e_j = u c1_j + v c2_j + t3_j - w_j over P rows
+        # [u, v, 1, w (3), guard].
+        zeros = zero
+        ones = one
+
+        def a_matrix(j):
+            w_rows = [-ones if m == j else zeros for m in range(3)]
+            guard = ones if j == 0 else zeros
+            return jnp.concatenate(
+                [c1[j], c2[j], t3[j]] + w_rows + [guard], axis=0
+            )
+
+        a_mats = [a_matrix(j) for j in range(3)]
+
+        def body(pc):
+            d2 = None
+            for a in a_mats:
+                e = _dot_f32x3(pc, a)
+                d2 = e * e if d2 is None else d2 + e * e
+            return (d2 < delta_sq).astype(jnp.float32)
+
+        counts = _chunked_counts(p, body)
+        counts = counts * jnp.where(degenerate, 0.0, 1.0)
+        return counts, t3 + c1 + c2 + c3
+
+    return fit_vote
+
+
+def _pointer_fused_features(data):
+    """(Frame[n], q[n, 2], p[n, 3]) -> slot features [n, 17] =
+    [vec(R2), t2, u, v, p]."""
+    frames, q, p = data
+    f32 = jnp.float32
+    return jnp.concatenate(
+        [
+            jnp.asarray(frames.r, f32).reshape(-1, 9),
+            jnp.asarray(frames.t, f32),
+            jnp.asarray(q, f32),
+            jnp.asarray(p, f32),
+        ],
+        axis=1,
+    )
+
+
+def _pointer_fused_p(data):
+    """Vote feature rows [7, n_pad] = [u, v, 1, R2^T (p - t2) (3), guard];
+    guard = 0 live / 1e30 pad."""
+    frames, q, p = data
+    f32 = jnp.float32
+    r = jnp.asarray(frames.r, f32)
+    q32 = jnp.asarray(q, f32)
+    w = jnp.einsum(
+        "nij,ni->nj", r, jnp.asarray(p, f32) - jnp.asarray(frames.t, f32)
+    )
+    n = q32.shape[0]
+    n_pad = -(-n // 128) * 128
+    rows = jnp.zeros((7, n_pad), f32)
+    rows = rows.at[0:2, :n].set(q32.T)
+    rows = rows.at[2, :n].set(1.0)
+    rows = rows.at[3:6, :n].set(w.T)
+    rows = rows.at[6, n:].set(jnp.float32(_GUARD))
+    return rows
+
+
+def _pointer_post(rows):
+    """Kernel rows [t3 3, c1 3, c2 3, c3 3] -> the estimator's 17-parameter
+    layout (scales + gimbal-safe Euler derived host-side)."""
+    from lsqrrecipes_tpu.estimators.us_calibration import _extract_euler_plus
+
+    v = jnp.asarray(rows, jnp.float64)
+    c1, c2, c3 = v[3:6], v[6:9], v[9:12]
+    m_x = jnp.linalg.norm(c1)
+    m_y = jnp.linalg.norm(c2)
+    r3 = jnp.stack(
+        [
+            c1 / jnp.where(m_x > 0, m_x, 1.0),
+            c2 / jnp.where(m_y > 0, m_y, 1.0),
+            c3,
+        ],
+        axis=1,
+    )
+    wz, wy, wx = _extract_euler_plus(r3)
+    return jnp.concatenate(
+        [v[0:3], jnp.stack([wz, wy, wx, m_x, m_y]), c1, c2, c3]
+    )
+
+
 def _dense6_features(data):
     return jnp.asarray(data, jnp.float32)
 
@@ -1063,6 +1211,14 @@ _FAMILIES = {
         and hasattr(d[0], "r") and getattr(d[1], "ndim", 0) == 2
         and d[1].shape[1] == 2,
     ),
+    "pointer": (
+        pointer_fit_vote, 3, 17, 12, _pointer_fused_features,
+        _pointer_fused_p,
+        lambda d: isinstance(d, (tuple, list)) and len(d) == 3
+        and hasattr(d[0], "r") and getattr(d[1], "ndim", 0) == 2
+        and d[1].shape[1] == 2 and getattr(d[2], "ndim", 0) == 2
+        and d[2].shape[1] == 3,
+    ),
 }
 
 # Optional host-side conversion from kernel param rows to the estimator's
@@ -1070,6 +1226,7 @@ _FAMILIES = {
 _POSTPROCESS = {
     "absolute_orientation": _absor_post,
     "crosswire": _crosswire_post,
+    "pointer": _pointer_post,
 }
 
 

@@ -171,6 +171,38 @@ def _crosswire_data(key, n):
     return (Frame(r2, t2), q)
 
 
+def _pointer_data(key, n):
+    """Calibrated-pointer workload: known calibration, 20% corrupted tips."""
+    from lsqrrecipes_tpu.estimators.us_calibration import _euler_zyx_matrix
+
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    m_x, m_y = 0.143, 0.139
+    r3 = _euler_zyx_matrix(1.1, 0.4, -0.7)
+    t3 = jnp.asarray([20.0, -15.0, 40.0])
+    q = jax.random.uniform(k1, (n, 2)) * jnp.asarray([640.0, 480.0])
+    w2 = jax.random.uniform(k2, (n, 3), minval=0.0, maxval=jnp.pi)
+    r2 = jax.vmap(lambda w: _euler_zyx_matrix(w[2], w[1], w[0]))(w2)
+    t2 = jax.random.uniform(k6, (n, 3), minval=-100.0, maxval=100.0)
+    img = q[:, 0:1] * (m_x * r3[:, 0]) + q[:, 1:2] * (m_y * r3[:, 1]) + t3
+    p = jnp.einsum("nij,nj->ni", r2, img) + t2
+    n_out = n // 5
+    bad = p[-n_out:] + (30.0 + 50.0 * jax.random.uniform(k3, (n_out, 3))) * jnp.sign(
+        jax.random.normal(k4, (n_out, 3))
+    )
+    p = p.at[-n_out:].set(bad)
+    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    return (Frame(r2, t2), q, p)
+
+
+def _pointer_from_features(feats):
+    f = jnp.asarray(feats, jnp.float64)
+    return (
+        Frame(f[..., 0:9].reshape(*feats.shape[:-1], 3, 3), f[..., 9:12]),
+        f[..., 12:14],
+        f[..., 14:17],
+    )
+
+
 def _crosswire_from_features(feats):
     f = jnp.asarray(feats, jnp.float64)
     return (
@@ -253,7 +285,21 @@ FAMILIES = {
         _crosswire_from_features,
         3,
     ),
+    "pointer": (
+        lambda: _pointer_data(jax.random.PRNGKey(10), 1024),
+        lambda: _pointer_estimator(),
+        _pointer_from_features,
+        3,
+    ),
 }
+
+
+def _pointer_estimator():
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        PointerUSCalibrationEstimator,
+    )
+
+    return PointerUSCalibrationEstimator(delta=3.0)
 
 
 def check_family(name, total_groups):

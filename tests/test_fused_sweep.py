@@ -581,6 +581,76 @@ def test_fused_sweep_crosswire_matches_reference(interpret_pallas):
     assert int(bc) > n // 2  # found the 70% consensus
 
 
+def test_fused_sweep_pointer_matches_reference(interpret_pallas):
+    """US calibrated-pointer family: in-kernel 9x9 QR fit + polar
+    orthonormalization + w = R2^T(p - t2) vote vs the f64 estimator path on
+    the identical hypothesis set."""
+    from tests.test_us_calibration import make_pointer_data
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        PointerUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.geometry import Frame
+
+    n = 256
+    noisy, _, true = make_pointer_data(jax.random.PRNGKey(0), n=n, sigma=0.5)
+    frames, q, p = noisy
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+    bad_p = p[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    data = (frames, q, p.at[-n_out:].set(bad_p))
+    est = PointerUSCalibrationEstimator(delta=3.0)
+
+    assert fs.supports_data("pointer", data)
+    bc, bp = fs.fused_sweep("pointer", data, jax.random.PRNGKey(7), 6, est.delta)
+
+    feats = fs.reference_samples("pointer", data, jax.random.PRNGKey(7), 6)
+    samples = (
+        Frame(
+            jnp.asarray(feats[..., 0:9], jnp.float64).reshape(-1, 3, 3, 3),
+            jnp.asarray(feats[..., 9:12], jnp.float64),
+        ),
+        jnp.asarray(feats[..., 12:14], jnp.float64),
+        jnp.asarray(feats[..., 14:17], jnp.float64),
+    )
+    p64, v64 = jax.vmap(est.minimal_fit)(samples)
+    counts = jax.vmap(lambda pp: jnp.sum(est.agree(pp, data)))(p64)
+    cref = int(jnp.max(jnp.where(v64, counts, 0)))
+    assert abs(int(bc) - cref) <= 1
+    achieved = int(jnp.sum(est.agree(jnp.asarray(bp, jnp.float64), data)))
+    assert abs(achieved - int(bc)) <= 1
+    assert int(bc) > n // 2  # found the 70% consensus
+
+
+def test_engine_fused_driver_pointer(interpret_pallas):
+    """ransac_fused_sweep end-to-end on the pointer estimator recovers the
+    planted calibration at reference tolerances."""
+    from tests.test_us_calibration import (
+        _check_pointer,
+        make_pointer_data,
+    )
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        PointerUSCalibrationEstimator,
+    )
+
+    n = 256
+    noisy, _, true = make_pointer_data(jax.random.PRNGKey(3), n=n, sigma=0.5)
+    frames, q, p = noisy
+    n_out = n * 3 // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(12))
+    bad_p = p[-n_out:] + jax.random.uniform(
+        k1, (n_out, 3), minval=30.0, maxval=80.0
+    ) * jnp.sign(jax.random.normal(k2, (n_out, 3)))
+    data = (frames, q, p.at[-n_out:].set(bad_p))
+
+    est = PointerUSCalibrationEstimator(delta=3.0)
+    res = ransac_fused_sweep(est, data, jax.random.PRNGKey(1), num_hypotheses=1024)
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
+    _check_pointer(res.params, true)
+
+
 def test_engine_fused_driver_crosswire(interpret_pallas):
     """ransac_fused_sweep end-to-end on the crosswire estimator recovers the
     planted calibration at reference tolerances."""
