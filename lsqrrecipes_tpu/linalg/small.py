@@ -173,3 +173,95 @@ def qr_solve_lanes(rows, rhs, eps=1e-5):
         diag = a[i][i]
         x[i] = t / jnp.where(jnp.abs(diag) > eps, diag, 1.0)
     return [x[c] * inv_scale[c] for c in range(nc)], ok
+
+
+def qr_r_planar(a):
+    """Householder QR, R factor only, in PLANAR form: ``a[n, n, B]`` with
+    the batch on the LANES (rows axis 0, columns axis 1).  Returns the same
+    layout with the upper triangle of R valid and the strict lower triangle
+    ZEROED.  One ``lax.scan`` over the n Householder steps keeps the HLO
+    graph tiny (a fully unrolled 31x31 factor took ~2 min of XLA compile;
+    batched ``[B, n, n]`` QR custom calls are latency-bound, ~31 ms at
+    B=2048; this is both small to compile and ~1 ms to run).
+
+    NO column equilibration (deliberate — see
+    ``ops/us_fast._plane_phantom_fit_slots``: rescaled columns change the
+    smallest-singular-vector minimizer under noise).  Zero-norm pivot
+    columns leave a zero on the diagonal; callers clamp the diagonal to
+    their own noise floor before inverting.
+    """
+    n = a.shape[0]
+    idx = jnp.arange(n)
+
+    def step(am, k):
+        ge = (idx >= k)[:, None]                        # [n, 1] row mask
+        gt = (idx > k)[:, None]
+        colk = jax.lax.dynamic_slice_in_dim(am, k, 1, axis=1)[:, 0, :]
+        colk_ge = jnp.where(ge, colk, 0.0)              # [n, B]
+        colk_gt = jnp.where(gt, colk, 0.0)
+        sigma = jnp.sum(colk_ge * colk_ge, axis=0)      # [B]
+        norm = jnp.sqrt(sigma)
+        akk = jax.lax.dynamic_slice_in_dim(colk, k, 1, axis=0)[0]
+        alpha = jnp.where(akk >= 0, -norm, norm)
+        vk = akk - alpha
+        denom = alpha * vk
+        good = jnp.abs(denom) > 0
+        inv_denom = jnp.where(good, 1.0 / jnp.where(good, denom, 1.0), 0.0)
+        row_k = jax.lax.dynamic_slice_in_dim(am, k, 1, axis=0)[0]  # [n, B]
+        # w[j] = (vk a[k, j] + sum_{r>k} a[r, k] a[r, j]) / denom, all j at
+        # once; columns <= k of rows >= k take spent-Householder garbage
+        # that nothing reads (the lower triangle is zeroed at the end).
+        w = vk[None, :] * row_k + jnp.sum(colk_gt[:, None, :] * am, axis=0)
+        w = w * inv_denom[None, :]
+        am = am + colk_gt[:, None, :] * w[None, :, :]
+        new_row_k = row_k + vk[None, :] * w
+        new_row_k = jax.lax.dynamic_update_slice_in_dim(
+            new_row_k, alpha[None, :], k, axis=0
+        )
+        am = jax.lax.dynamic_update_slice_in_dim(
+            am, new_row_k[None], k, axis=0
+        )
+        return am, None
+
+    am, _ = jax.lax.scan(step, a, idx)
+    tri = (idx[:, None] <= idx[None, :])[:, :, None]
+    return jnp.where(tri, am, 0.0)
+
+
+def solve_rt_r_planar(r_planar, d, v):
+    """``z = R^{-1} R^{-T} v`` in planar form (one inverse-iteration step
+    with the normal matrix ``A^T A = R^T R``).  ``r_planar``: ``[n, n, B]``
+    from :func:`qr_r_planar` (lower triangle zero); ``d``: ``[n, B]``
+    diagonal, pre-clamped by the caller (the stored diagonal is IGNORED so
+    clamping needs no matrix update); ``v``: ``[q, n, B]`` right-hand
+    sides.  Returns ``[q, n, B]``."""
+    n = d.shape[0]
+    idx = jnp.arange(n)
+
+    # Forward: R^T y = v.  acc[:, m] accumulates sum_{j<m} R[j, m] y_j;
+    # the diagonal contribution R[i, i] y_i lands on already-consumed
+    # positions and is harmless.
+    def fwd(acc, k):
+        vi = jax.lax.dynamic_slice_in_dim(v, k, 1, axis=1)[:, 0, :]
+        ai = jax.lax.dynamic_slice_in_dim(acc, k, 1, axis=1)[:, 0, :]
+        di = jax.lax.dynamic_slice_in_dim(d, k, 1, axis=0)[0]
+        yi = (vi - ai) / di[None, :]                    # [q, B]
+        ri = jax.lax.dynamic_slice_in_dim(r_planar, k, 1, axis=0)[0]
+        acc = acc + ri[None, :, :] * yi[:, None, :]
+        return acc, yi
+
+    _, ys = jax.lax.scan(fwd, jnp.zeros_like(v), idx)   # [n, q, B]
+
+    # Back: R z = y, descending; unfilled z positions are zero, so the
+    # full-row dot picks up exactly sum_{j>i} R[i, j] z_j.
+    def bwd(z, inp):
+        k, yk = inp
+        ri = jax.lax.dynamic_slice_in_dim(r_planar, k, 1, axis=0)[0]
+        di = jax.lax.dynamic_slice_in_dim(d, k, 1, axis=0)[0]
+        s = jnp.sum(ri[None, :, :] * z, axis=1)         # [q, B]
+        zi = (yk - s) / di[None, :]
+        z = jax.lax.dynamic_update_slice(z, zi[:, None, :], (0, k, 0))
+        return z, None
+
+    z, _ = jax.lax.scan(bwd, jnp.zeros_like(v), (idx[::-1], ys[::-1]))
+    return z

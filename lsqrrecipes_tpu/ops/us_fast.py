@@ -152,10 +152,11 @@ def _orthonormalize_lanes(c1, c2):
 # zero-materialization structured sweep) without caring which.
 
 
-def _crosswire_fit_slots(slot, k: int):
+def _crosswire_fit_slots(slot_pl, k: int):
     """Minimal 3k x 12 system ``[u R2 | v R2 | R2 | -I] x = -t2``
     (``SinglePointTarget...cxx:120-270``) in lanes form ->
-    ``(params[B, 20], valid[B])``."""
+    ``(params[B, 20], valid[B])``.  ``slot_pl``: ``[k, F, B]`` planes."""
+    slot = lambda a, f: slot_pl[a, f]
     zero = jnp.zeros_like(slot(0, 12))
     one = zero + 1.0
     rows, rhs = [], []
@@ -186,9 +187,11 @@ def _crosswire_fit_slots(slot, k: int):
     return jnp.stack(cols, axis=-1), jnp.logical_and(valid, ok)
 
 
-def _pointer_fit_slots(slot, k: int):
+def _pointer_fit_slots(slot_pl, k: int):
     """Minimal 3k x 9 system ``[u R2 | v R2 | R2] x = p - t2``
-    (``cxx:763-914``) -> ``(params[B, 17], valid[B])``."""
+    (``cxx:763-914``) -> ``(params[B, 17], valid[B])``.
+    ``slot_pl``: ``[k, F, B]`` planes."""
+    slot = lambda a, f: slot_pl[a, f]
     rows, rhs = [], []
     for a in range(k):
         u, v = slot(a, 12), slot(a, 13)
@@ -222,26 +225,51 @@ def _pointer_fit_slots(slot, k: int):
 # The reference computes the null vector of the homogeneous 31x31 system by
 # SVD per sample (``PlanePhantomUSCalibrationParametersEstimator.cxx:137-355``);
 # vmapping that f64 SVD serializes into LinAlg custom calls.  Here the null
-# direction comes from INVERSE ITERATION on the shifted normal matrix
-# ``G = A^T A + lambda I``: one batched matmul, one batched Cholesky, and a
-# fixed number of batched triangular solves — no SVD, no convergence loop,
-# everything pipelined across the batch by XLA.
+# direction comes from a MIXED-PRECISION two-stage scheme:
 #
-# The fit runs in the DATA dtype (f64 under the engine) rather than the f32
-# used everywhere else in this module, and that is deliberate: at reference
-# noise levels the (equilibrated) spectrum has sigma_31 ~ 3e-4 with gap
-# sigma_30 - sigma_31 ~ 5e-4, so any f32 factorization (backward error
-# ~1e-6 * ||A||) perturbs the null direction by ~1e-2 — which the t2-column
-# scales amplify into millimetres of t3 error and tens of flipped votes
-# (measured).  In f64 the squared spectrum still sits ~8 orders above the
-# rounding floor, so normal equations are safe and the direction matches
-# the reference SVD's to ~1e-9.  Column equilibration is NOT applied: under
-# noise the rescaled system has a genuinely different minimizer, and the
-# reference SVD runs on the raw system.  The vote stays f32.
+#   1. f32 stage (fast, native arithmetic): the R factor of A by the
+#      planar-scanned Householder QR (``linalg.small.qr_r_planar``; the
+#      matrix lives as ``[31, 31, B]`` with the batch on the LANES —
+#      factoring A itself, NOT the normal matrix, keeps the conditioning
+#      un-squared) — then a 4-vector block inverse iteration with
+#      ``(A^T A)^{-1} = R^{-1} R^{-T}`` as scanned triangular solves.  At
+#      reference noise the raw spectrum has sigma_31 ~ 2e-7 * sigma_0 and
+#      sigma_30 ~ 1e-5 * sigma_0; the f32 QR backward error
+#      (~1.2e-7 * ||A||) sits BETWEEN them, so the iteration isolates a
+#      subspace containing the null direction to ~1e-2 and the
+#      {sigma_31, sigma_30} pair to ~4e-3 — but cannot resolve the pair.
+#   2. f64 Rayleigh-Ritz (small, emulated arithmetic only where it pays):
+#      project the exact ``A^T A`` onto the 4-dim f32 subspace
+#      (``S = (A V)^T (A V)``, planar broadcast-reductions), extract the
+#      smallest Ritz pair by 4x4 shifted inverse iteration, and expand.
+#      Within the captured subspace the f64 projection resolves the tiny
+#      sigma_30/sigma_31 gap exactly; measured direction error vs the f64
+#      SVD null vector is <= 1.1e-5 rad (votes flip at ~1e-2).
 #
-# A second, deflated inverse iteration estimates sigma_30 (second-smallest),
-# reproducing the reference's unique-null-space rank gate: duplicate rows
-# from replication padding give a >= 2-dim null space and are rejected.
+# A pure-f32 factorization of the NORMAL matrix cannot work here: the
+# squared spectrum puts sigma_31^2 ~ 4e-14 and sigma_30^2 ~ 1.2e-10 (of
+# sigma_0^2) both below the f32 rounding floor of G (~1.2e-7), which is
+# exactly the measured failure mode (null direction scrambled by ~1e-2,
+# millimetres of t3 error, tens of flipped votes).  The previous all-f64
+# design (normal matrix + Cholesky + D&C triangular inverse + 10 inverse
+# iterations) was correct but spent ~80% of its time in emulated-f64
+# matmuls; this scheme keeps f64 only for the A build, the thin subspace
+# projection, the 4x4 Ritz solve, and the reconstruction.  Batched
+# ``[B, n, n]`` forms of ANY of these steps (QR/Cholesky custom calls, D&C
+# triangular inverses, small matmuls, 4x4 Jacobi chains) are latency- and
+# layout-bound on TPU — tiny trailing dims tile to (8, 128) — and fully
+# unrolled scalar forms blow up XLA compile time; planar-with-lax.scan is
+# the working point.  Column equilibration is NOT applied: under noise the
+# rescaled system has a genuinely different minimizer, and the reference
+# SVD runs on the raw system.  The vote stays f32.
+#
+# The second Ritz value estimates sigma_30^2 (second-smallest), reproducing
+# the reference's unique-null-space rank gate: duplicate rows from
+# replication padding give a >= 2-dim null space whose two exact-null
+# directions both ride the clamped-pivot amplification into the subspace,
+# so the gate sees ritz_30 ~ 0 and rejects.  Ritz values only ever
+# OVER-estimate eigenvalues (min-max), so the gate never turns more
+# permissive for degenerate samples than the reference's.
 
 # The reference's FLT_EPSILON-relative rank gate (``cxx:205-218``):
 # sigma_30 must exceed FLT_EPS * max(sigma_0, 1).  Duplicate-row degeneracy
@@ -250,133 +278,157 @@ def _pointer_fit_slots(slot, k: int):
 _PHANTOM_FLT_EPS = 1.192092896e-07
 
 
-def _phantom_rows_from_slots(slot, k):
-    """``[B, 31, 31]`` homogeneous rows ``[u vec(R2), v vec(R2), vec(R2),
-    t2, 1]`` (``PlanePhantom...cxx:137-203``) from crosswire slot features.
-
-    The Kronecker block ``[u r, v r, r] = [u, v, 1] (x) r`` is built as ONE
-    broadcast multiply: the scalarized 961-op version cost 8 ms of the
-    fit's 62 ms at B=2048 in emulated f64 (measured)."""
-    sf = jnp.stack(
-        [
-            jnp.stack([slot(a, f) for f in range(14)], axis=-1)
-            for a in range(k)
-        ],
-        axis=1,
-    )                                              # [B, k, 14]
-    r = sf[..., 0:9]
-    t = sf[..., 9:12]
-    u = sf[..., 12:13]
-    v = sf[..., 13:14]
-    one = jnp.ones_like(u)
-    w = jnp.concatenate([u, v, one], axis=-1)      # [B, k, 3]
-    a1 = (w[..., :, None] * r[..., None, :]).reshape(*r.shape[:-1], 27)
-    return jnp.concatenate([a1, t, one], axis=-1)  # [B, k, 31]
 
 
-def _tri_inv_lower(l):
-    """Batched lower-triangular inverse by divide-and-conquer.
 
-    ``inv([[A, 0], [C, D]]) = [[A^-1, 0], [-D^-1 C A^-1, D^-1]]`` recursed
-    to 1x1/2x2 base cases: ~2 batched matmuls per level instead of XLA's
-    sequential per-column TriangularSolve scan — the scan is latency-bound
-    in emulated f64 (a 31-column solve cost 24 ms at B=2048; this is ~3 ms)."""
-    m = l.shape[-1]
-    if m == 1:
-        return 1.0 / l
-    if m == 2:
-        a = l[..., 0:1, 0:1]
-        c = l[..., 1:2, 0:1]
-        d = l[..., 1:2, 1:2]
-        ai, di = 1.0 / a, 1.0 / d
-        zero = jnp.zeros_like(c)
-        return jnp.concatenate(
-            [
-                jnp.concatenate([ai, zero], axis=-1),
-                jnp.concatenate([-di * c * ai, di], axis=-1),
-            ],
-            axis=-2,
-        )
-    h = m // 2
-    ai = _tri_inv_lower(l[..., :h, :h])
-    di = _tri_inv_lower(l[..., h:, h:])
-    ci = -jnp.einsum(
-        "...ij,...jk,...kl->...il", di, l[..., h:, :h], ai
-    )
-    top = jnp.concatenate([ai, jnp.zeros_like(l[..., :h, h:])], axis=-1)
-    return jnp.concatenate(
-        [top, jnp.concatenate([ci, di], axis=-1)], axis=-2
-    )
-
-
-def _plane_phantom_fit_slots(slot, k: int):
+def _plane_phantom_fit_slots(slot_pl, k: int):
     """Batched k=31 minimal fit -> ``(params[B, 41], valid[B])``.
 
-    Null vector by inverse iteration (see module comment), then the
-    reference's reconstruction (``PlanePhantom...cxx:204-355``) vectorized
-    over the batch: column-group averaging, Newton-polar orthonormalization,
-    gimbal-safe Euler extraction, derived-entry expansion."""
-    a = _phantom_rows_from_slots(slot, k)         # [B, k, 31], data dtype
+    ``slot_pl``: planar ``[31, 14, B]`` slot features (engine dtype).
+    Null vector by the mixed-precision f32-QR + f64-Rayleigh-Ritz scheme
+    (see module comment), then the reference's reconstruction
+    (``PlanePhantom...cxx:204-355``) vectorized over the batch:
+    column-group averaging, Newton-polar orthonormalization, gimbal-safe
+    Euler extraction, derived-entry expansion."""
+    dt = slot_pl.dtype
+    f32 = jnp.float32
+    bsz = slot_pl.shape[-1]
+
+    # Homogeneous rows [u vec(R2), v vec(R2), vec(R2), t2, 1]
+    # (``PlanePhantom...cxx:137-203``) built directly in PLANAR
+    # [31 rows, 31 cols, B] form: two broadcast multiplies + a concat.
     # NO column equilibration: under noise the smallest singular vector of a
     # rescaled system is a DIFFERENT minimizer, and the reference SVD runs on
-    # the raw system (cxx:205-218).  f64 absorbs the squared conditioning.
-    g = jnp.einsum(
-        "bki,bkj->bij", a, a, precision=jax.lax.Precision.HIGHEST
+    # the raw system (cxx:205-218).
+    r_feat = slot_pl[:, 0:9]                            # [31, 9, B]
+    t_feat = slot_pl[:, 9:12]
+    u_feat = slot_pl[:, 12:13]
+    v_feat = slot_pl[:, 13:14]
+    one = jnp.ones_like(u_feat)
+    a_pl = jnp.concatenate(
+        [u_feat * r_feat, v_feat * r_feat, r_feat, t_feat, one], axis=1
+    )                                                   # [31, 31, B]
+
+    # ---- f32 stage, PLANAR form: R factor of A, un-squared conditioning.
+    # The matrix lives as [31, 31, B] with the batch on the lanes and the
+    # factorization/solves are lax.scans of vector arithmetic: batched
+    # [B, 31, 31] QR custom calls / D&C triangular inverses / small matmuls
+    # are all latency- and layout-bound (31/35/2-10 ms at B=2048), and a
+    # fully unrolled scalar form takes minutes of XLA compile.
+    from lsqrrecipes_tpu.linalg.small import (
+        cholesky_solve_unrolled,
+        qr_r_planar,
+        solve_rt_r_planar,
     )
-    trace = jnp.trace(g, axis1=-2, axis2=-1)
-    lam = (1e3 * jnp.finfo(g.dtype).eps) * jnp.maximum(trace, 1.0)
-    eye = jnp.eye(31, dtype=g.dtype)
-    chol = jnp.linalg.cholesky(g + lam[:, None, None] * eye)
-    chol_ok = jnp.all(jnp.isfinite(chol), axis=(1, 2))
-    chol = jnp.where(chol_ok[:, None, None], chol, eye)
 
-    # Explicit (G + lam I)^{-1} = L^{-T} L^{-1} with the triangular inverse
-    # computed by divide-and-conquer matmuls (see :func:`_tri_inv_lower`);
-    # every inverse-iteration step is then a batched matvec.  Per-iteration
-    # TriangularSolves lower to sequential latency-bound scans in emulated
-    # f64 and cost ~10x more (measured).
-    linv = _tri_inv_lower(chol)
-    minv = jnp.einsum("bki,bkj->bij", linv, linv)      # L^{-T} L^{-1}
+    a32 = a_pl.astype(f32)                              # [31, 31, B]
+    r_pl = qr_r_planar(a32)
+    fac_ok = jnp.all(jnp.isfinite(r_pl), axis=(0, 1))
+    # Clamp pivots at the f32 noise floor: exact-null pivots underflow to
+    # rounding noise anyway; degenerate (duplicate-row) samples would
+    # otherwise put inf into the solves.  The clamp keeps the null-space
+    # amplification at ~1/eps^2 per iteration — one step isolates it.
+    diag = jnp.diagonal(r_pl, axis1=0, axis2=1).T       # [31, B]
+    # Absolute floor 1e-6: real systems always have mx >= O(1) (the
+    # homogeneous ones-column), so only all-zero/duplicate degenerate
+    # samples hit it — and it keeps their solve values ~1e6 instead of the
+    # 1e30s whose squares go inf (and crawl on CPU denormal handling).
+    floor = jnp.maximum(
+        jnp.finfo(f32).eps * jnp.max(jnp.abs(diag), axis=0, keepdims=True),
+        1e-6,
+    )
+    mag = jnp.maximum(jnp.abs(diag), floor)
+    d_clamped = jnp.where(diag < 0, -mag, mag)
 
-    def inv_apply(v):
-        # (G + lam I)^{-1} v — inverse iteration step toward the smallest
-        # right-singular direction of Ae.
-        return jnp.einsum("bij,bj->bi", minv, v)
+    # Block inverse iteration with (A^T A)^{-1} = R^{-1} R^{-T}: 4 fixed
+    # deterministic start vectors, 3 steps, Gram-Schmidt between steps.
+    q = 4
+    import numpy as _np
 
-    def normalize(v):
-        return v / jnp.maximum(
-            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-30
+    starts = []
+    for j in range(q):
+        c = _np.cos(_np.arange(31) * (j + 1) * 0.7) + 0.1
+        starts.append(c / _np.linalg.norm(c))
+    v_pl = jnp.broadcast_to(
+        jnp.asarray(_np.stack(starts), _np.float32)[:, :, None],
+        (q, 31, bsz),
+    )
+
+    def _norm_pl(v):
+        n2 = jnp.sum(v * v, axis=1, keepdims=True)
+        return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+
+    for _ in range(3):
+        v_pl = _norm_pl(solve_rt_r_planar(r_pl, d_clamped, v_pl))
+        cols = []
+        for j in range(q):
+            c = v_pl[j]
+            for p in cols:
+                c = c - jnp.sum(p * c, axis=0, keepdims=True) * p
+            n2 = jnp.sum(c * c, axis=0, keepdims=True)
+            cols.append(c * jax.lax.rsqrt(jnp.maximum(n2, 1e-30)))
+        v_pl = jnp.stack(cols)
+
+    # ---- f64 Rayleigh-Ritz: resolve the sigma_30/sigma_31 gap exactly.
+    # Project the exact A^T A onto the 4-dim subspace with planar
+    # broadcast-reductions (no batched matmuls), then extract the smallest
+    # Ritz pair by 4x4 shifted inverse iteration with the unrolled lanes
+    # Cholesky (a 4x4 Jacobi sweep chain compiled ~12 s; this is ~200 ops).
+    v64_pl = v_pl.astype(dt)                            # [q, 31, B]
+    w_pl = jnp.sum(
+        a_pl[None, :, :, :] * v64_pl[:, None, :, :], axis=2
+    )                                                   # [q, 31, B]
+    s_pl = jnp.sum(w_pl[:, None, :, :] * w_pl[None, :, :, :], axis=2)
+    s_mat = jnp.transpose(s_pl, (2, 0, 1))              # [B, q, q]
+    tiny = jnp.finfo(dt).tiny
+    trace = s_pl[0, 0] + s_pl[1, 1] + s_pl[2, 2] + s_pl[3, 3]
+    shift = 100.0 * jnp.finfo(dt).eps * trace + tiny
+    s_sh = s_mat + shift[:, None, None] * jnp.eye(q, dtype=dt)
+
+    def _unit(c):
+        return c / jnp.maximum(
+            jnp.linalg.norm(c, axis=-1, keepdims=True), tiny
         )
 
-    def sigma_sq(v):
-        return jnp.einsum("bi,bij,bj->b", v, g, v)
-
-    bsz = a.shape[0]
-    x = jnp.ones((bsz, 31), g.dtype) / jnp.sqrt(31.0)
-    # Convergence ratio per step is (sigma31^2+lam)/(sigma30^2+lam) <~ 0.2
-    # at reference noise but degrades on marginal-gap samples; 10 steps
-    # keep the worst measured sample inside the vote's border-flip scale
-    # (8 steps flipped counts).
-    for _ in range(10):
-        x = normalize(inv_apply(x))
-    # Deflated second vector -> sigma_30^2 estimate, plus a power-iteration
-    # sigma_0^2 estimate, reproducing the reference's rank gate
-    # ``s[29] > FLT_EPS * max(s[0], 1)`` (``cxx:205-218`` via
-    # ``us_calibration.py:547``).
-    y = jnp.tile(
-        jnp.asarray([1.0, -1.0], g.dtype), 16
-    )[:31] / jnp.sqrt(31.0)
-    y = jnp.broadcast_to(y, (bsz, 31))
-    for _ in range(4):
-        y = inv_apply(y)
-        y = normalize(y - jnp.sum(x * y, axis=-1, keepdims=True) * x)
-    p = jnp.broadcast_to(
-        jnp.ones((31,), g.dtype) / jnp.sqrt(31.0), (bsz, 31)
-    )
+    # Smallest Ritz vector: the first subspace vector is the f32 null
+    # estimate, so e_0 always has O(1) overlap; two inverse-iteration steps
+    # (ratio ~ sigma_31^2 / sigma_30^2 ~ 1e-4 per step) polish it to f64.
+    c = jnp.zeros((bsz, q), dt).at[:, 0].set(1.0)
     for _ in range(2):
-        p = normalize(jnp.einsum("bij,bj->bi", g, p))
-    sig0_sq = sigma_sq(p)
-    rank_ok = sigma_sq(y) > _PHANTOM_FLT_EPS**2 * jnp.maximum(sig0_sq, 1.0)
+        c, _ = cholesky_solve_unrolled(s_sh, c, q)
+        c = _unit(c)
+    x_pl = jnp.sum(v64_pl * jnp.moveaxis(c, 0, -1)[:, None, :], axis=0)
+    x = x_pl.T                                          # [B, 31]
+    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), tiny)
+
+    # Rank gate ``s[29] > FLT_EPS * max(s[0], 1)`` (``cxx:205-218`` via
+    # ``us_calibration.py``): sigma_30^2 from the deflated second Ritz
+    # value (a Rayleigh quotient orthogonal to the first — an over-estimate,
+    # so never laxer than the reference), sigma_0^2 by two power-iteration
+    # steps in planar f32 (the gate threshold needs ~1e-3, not f64).
+    y = jnp.zeros((bsz, q), dt).at[:, 1].set(1.0)
+    y = _unit(y - jnp.sum(c * y, axis=-1, keepdims=True) * c)
+    for _ in range(2):
+        y, _ = cholesky_solve_unrolled(s_sh, y, q)
+        y = _unit(y - jnp.sum(c * y, axis=-1, keepdims=True) * c)
+    lam1 = jnp.sum(y * jnp.einsum("bij,bj->bi", s_mat, y), axis=-1)
+
+    pv = jnp.full((31, bsz), _np.float32(1.0 / _np.sqrt(31.0)), f32)
+
+    def _gram_apply(p):
+        # A^T (A p) in planar form: two masked-broadcast reductions.
+        ap = jnp.sum(a32 * p[None, :, :], axis=1)       # [31 rows, B]
+        return jnp.sum(a32 * ap[:, None, :], axis=0)    # [31 cols, B]
+
+    def _norm_cols(p):
+        n2 = jnp.sum(p * p, axis=0, keepdims=True)
+        return p * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
+
+    for _ in range(2):
+        pv = _norm_cols(_gram_apply(pv))
+    sig0_sq = jnp.sum(pv * _gram_apply(pv), axis=0).astype(dt)
+    rank_ok = lam1 > _PHANTOM_FLT_EPS**2 * jnp.maximum(sig0_sq, 1.0)
+    chol_ok = fac_ok  # factorization-health gate (name kept for the mask)
 
     xr = x
     denom = jnp.linalg.norm(xr[:, 27:30], axis=-1)
@@ -592,9 +644,13 @@ _KINDS = {
 }
 
 
-def _fit_vote_chunk(kind, delta_sq, slot, feats):
+def _fit_vote_chunk(kind, delta_sq, slot_pl, feats):
+    """slot_pl: planar ``[k, F, B]`` slot-feature array.  Fits receive the
+    ARRAY (not a per-entry getter): the plane-phantom fit consumes whole
+    planes, and rebuilding its 31x31 rows through 400+ scalar slices cost
+    ~15 s of XLA compile per jit."""
     fit, k, vote_rows, _, _, _ = _KINDS[kind]
-    params, valid = fit(slot, k)
+    params, valid = fit(slot_pl, k)
     d2 = None
     # The plane-phantom fit returns f64 params; the vote always runs f32.
     for a_j in vote_rows(params.astype(feats.dtype)):
@@ -621,9 +677,7 @@ def _fit_and_vote_planes(kind, delta_sq, chunk, planes, feats):
     )  # [nc, k, F, chunk]
 
     def step(pl_chunk):
-        return _fit_vote_chunk(
-            kind, delta_sq, lambda a, f: pl_chunk[a, f], feats
-        )
+        return _fit_vote_chunk(kind, delta_sq, pl_chunk, feats)
 
     counts, params = jax.lax.map(step, chunked)
     return counts.reshape(-1), params.reshape(-1, nparams)
@@ -690,9 +744,7 @@ def _fit_and_vote_samples(kind, delta_sq, chunk, slot_feats, feats):
     chunked = slot_feats.reshape(nc, chunk, *slot_feats.shape[1:])
 
     def step(sf):
-        return _fit_vote_chunk(
-            kind, delta_sq, lambda a, f: sf[:, a, f], feats
-        )
+        return _fit_vote_chunk(kind, delta_sq, jnp.moveaxis(sf, 0, -1), feats)
 
     counts, params = jax.lax.map(step, chunked)
     return counts.reshape(-1), params.reshape(-1, nparams)
