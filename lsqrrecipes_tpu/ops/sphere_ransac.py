@@ -41,12 +41,11 @@ def _no_x64(fn):
 
 
 def group_shifts(groups: int, k: int, n: int):
-    """Static per-group distinct nonzero shifts (see sampling.structured_samples)."""
-    rng = np.random.default_rng(1234567 + groups * 1000003 + k)
-    shifts = np.zeros((groups, k - 1), dtype=np.int64)
-    for g in range(groups):
-        shifts[g] = np.sort(rng.choice(np.arange(1, n), size=k - 1, replace=False))
-    return shifts
+    """Static per-group distinct nonzero shifts (slots 1..k-1 of the
+    canonical ``sampling.structured_shift_table``; slot 0 is unshifted)."""
+    from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
+
+    return structured_shift_table(n, k, groups)[:, 1:]
 
 
 @functools.partial(jax.jit, static_argnames=("groups",))

@@ -683,20 +683,6 @@ def _fit_and_vote_planes(kind, delta_sq, chunk, planes, feats):
     return counts.reshape(-1), params.reshape(-1, nparams)
 
 
-def _structured_shifts(n: int, k: int, groups: int):
-    """The exact shift scheme of ``sampling.structured_samples`` (static,
-    derived from (groups, k)) so the planar sweep evaluates the identical
-    hypothesis set."""
-    import numpy as np
-
-    rng = np.random.default_rng(1234567 + groups * 1000003 + k)
-    shifts = []
-    for _ in range(groups):
-        pool = rng.choice(np.arange(1, n), size=k - 1, replace=False)
-        shifts.append([0] + sorted(int(s) for s in pool))
-    return shifts
-
-
 def structured_sweep(kind, est, data, key, groups: int):
     """Zero-materialization structured hypothesize+vote.
 
@@ -707,6 +693,8 @@ def structured_sweep(kind, est, data, key, groups: int):
     IDENTICAL to ``sampling.structured_samples`` with the same key/groups.
     Returns ``(counts int32[B], params f32[B, P])``.
     """
+    from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
+
     fit, k, _, features, slot_features, _ = _KINDS[kind]
     feats_elem = slot_features(data)          # [n, F]
     feats_vote = features(data)               # [n, K]
@@ -714,7 +702,7 @@ def structured_sweep(kind, est, data, key, groups: int):
     perm = jax.random.permutation(key, n)
     planar = feats_elem[perm].T               # [F, n]
     slots = []
-    for shifts in _structured_shifts(n, k, groups):
+    for shifts in structured_shift_table(n, k, groups):
         slots.append(
             jnp.stack(
                 [jnp.roll(planar, -s, axis=1) for s in shifts], axis=0

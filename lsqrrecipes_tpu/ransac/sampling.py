@@ -41,6 +41,31 @@ def sample_k_with_replacement(key, n, k, num_subsets):
     return jax.random.randint(key, (num_subsets, k), 0, n, dtype=jnp.int32)
 
 
+def structured_shift_table(n, k, groups):
+    """THE canonical static shift table for structured sampling.
+
+    Returns ``int64[groups, k]`` where row g holds slot shifts
+    ``[0, s_g1, ..., s_g,k-1]`` — slot 0 is the unshifted permuted array,
+    slots 1..k-1 are sorted distinct nonzero circular shifts.  Derived
+    deterministically from ``(groups, k)`` only (compile-time static; the
+    per-call randomness lives in the permutation).
+
+    Every consumer of the permutation+shift sampling scheme MUST build its
+    shifts here so they all evaluate the IDENTICAL hypothesis set:
+    :func:`structured_samples` (materialized pytree samples),
+    ``ops.us_fast.structured_sweep`` (planar US sweeps), and
+    ``ops.sphere_ransac.planar_sphere_samples`` (fused-kernel planes).
+    """
+    import numpy as _np
+
+    rng = _np.random.default_rng(1234567 + groups * 1000003 + k)
+    table = _np.zeros((groups, k), dtype=_np.int64)
+    for g in range(groups):
+        pool = rng.choice(_np.arange(1, n), size=k - 1, replace=False)
+        table[g, 1:] = _np.sort(pool)
+    return table
+
+
 def structured_samples(key, data, k, groups):
     """Gather-free minimal-sample construction: permutation + rolls.
 
@@ -64,7 +89,6 @@ def structured_samples(key, data, k, groups):
     data: pytree with leading observation axis n.
     Returns a pytree of samples with leading axes ``[groups * n, k]``.
     """
-    import numpy as _np
     import jax.tree_util as jtu
 
     n = jtu.tree_leaves(data)[0].shape[0]
@@ -76,17 +100,13 @@ def structured_samples(key, data, k, groups):
     # observations at every (position, shift) pair; fixing the shifts does
     # not bias per-hypothesis inlier probability.  Static shifts compile to
     # plain slices (no dynamic-slice/scatter HLO).
-    rng = _np.random.default_rng(1234567 + groups * 1000003 + k)
-    shifts = _np.zeros((groups, k - 1), dtype=_np.int64)
-    for g in range(groups):
-        pool = rng.choice(_np.arange(1, n), size=k - 1, replace=False)
-        shifts[g] = _np.sort(pool)
+    table = structured_shift_table(n, k, groups)
 
     def build(leaf):
         groups_out = []
         for g in range(groups):
-            stacked = [leaf] + [
-                jnp.roll(leaf, -int(s), axis=0) for s in shifts[g]
+            stacked = [
+                jnp.roll(leaf, -int(s), axis=0) for s in table[g]
             ]
             groups_out.append(jnp.stack(stacked, axis=1))      # [n, k, ...]
         out = jnp.concatenate(groups_out, axis=0)              # [G*n, k, ...]

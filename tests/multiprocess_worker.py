@@ -79,6 +79,53 @@ def main():
     assert count == int(ref_count), (count, int(ref_count))
     assert bool(res.valid) == bool(ref_ok)
     np.testing.assert_allclose(params, np.asarray(ref_params), atol=1e-12)
+
+    # ---- Phase 2: checkpoint/resume across the two-process cluster --------
+    # (``ransac/checkpoint.py:84-90`` multi-host claim: every process runs
+    # the same deterministic sweep, only process 0 writes, all read on
+    # resume).  Simulate a kill one round in: run ONE 256-hypothesis round
+    # with the checkpoint enabled, barrier so process 1 sees process 0's
+    # file, then resume to the full 1024 budget and compare against an
+    # uninterrupted no-checkpoint run.
+    if len(sys.argv) > 3:
+        import os
+
+        from jax.experimental import multihost_utils
+
+        from lsqrrecipes_tpu.ransac.checkpoint import load_state, resumable_sweep
+
+        ckpt = sys.argv[3]
+        key = jax.random.PRNGKey(11)
+        full = resumable_sweep(
+            est, pts, key, total_hypotheses=1024, batch_size=256
+        )
+        resumable_sweep(
+            est, pts, key, total_hypotheses=256, batch_size=256,
+            checkpoint_path=ckpt,
+        )  # "killed" after round 1
+        if pid != 0:
+            assert not os.path.exists(ckpt + ".tmp.npz"), "non-writer wrote"
+        multihost_utils.sync_global_devices("ckpt-round1-written")
+        assert os.path.exists(ckpt), "process 0 checkpoint missing"
+        assert load_state(ckpt).evaluated == 256
+        resumed = resumable_sweep(
+            est, pts, key, total_hypotheses=1024, batch_size=256,
+            checkpoint_path=ckpt,
+        )
+        assert resumed.evaluated == full.evaluated == 1024
+        assert resumed.best_count == full.best_count
+        np.testing.assert_array_equal(
+            np.asarray(resumed.key), np.asarray(full.key)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(resumed.best_mask), np.asarray(full.best_mask)
+        )
+        np.testing.assert_allclose(
+            np.asarray(resumed.best_params), np.asarray(full.best_params),
+            rtol=0, atol=0,
+        )
+        multihost_utils.sync_global_devices("ckpt-done")
+
     print(f"WORKER_OK pid={pid} count={count}", flush=True)
 
 

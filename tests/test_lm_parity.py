@@ -23,12 +23,22 @@ scipy_opt = pytest.importorskip("scipy.optimize")
 from lsqrrecipes_tpu.estimators.sphere import _sphere_jacobian, _sphere_residual
 from lsqrrecipes_tpu.estimators.us_calibration import (
     CrosswireUSCalibrationEstimator,
+    PlanePhantomUSCalibrationEstimator,
+    PointerUSCalibrationEstimator,
     _crosswire_jacobian,
     _crosswire_residual,
+    _plane_phantom_jacobian,
+    _plane_phantom_residual,
+    _pointer_jacobian,
+    _pointer_residual,
 )
 from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
 from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt
-from tests.test_us_calibration import make_crosswire_data
+from tests.test_us_calibration import (
+    make_crosswire_data,
+    make_plane_phantom_data,
+    make_pointer_data,
+)
 
 _TIGHT = LMConfig(ftol=1e-15, xtol=1e-15, gtol=1e-15, max_iters=500)
 
@@ -78,3 +88,28 @@ def test_lm_matches_lmder_crosswire():
     assert bool(ok)
     x0 = params[:11]
     _compare(_crosswire_residual, _crosswire_jacobian, x0, noisy, "crosswire")
+
+
+def test_lm_matches_lmder_pointer():
+    """Calibrated-pointer objective (8 minimal params,
+    ``SinglePointTarget...cxx:916-973``) vs MINPACK lmder."""
+    (noisy, clean, true) = make_pointer_data(jax.random.PRNGKey(2), n=50)
+    est = PointerUSCalibrationEstimator(delta=3.0, ls_type="analytic")
+    params, ok = est.lsq_fit(noisy)
+    assert bool(ok)
+    x0 = params[:8]
+    _compare(_pointer_residual, _pointer_jacobian, x0, noisy, "pointer")
+
+
+def test_lm_matches_lmder_plane_phantom():
+    """Plane-phantom objective (11 minimal params,
+    ``PlanePhantom...cxx:357-447``) vs MINPACK lmder."""
+    (noisy, clean, true) = make_plane_phantom_data(jax.random.PRNGKey(4), n=50)
+    est = PlanePhantomUSCalibrationEstimator(delta=1.0, ls_type="analytic")
+    params, ok = est.lsq_fit(noisy)
+    assert bool(ok)
+    x0 = params[:11]
+    _compare(
+        _plane_phantom_residual, _plane_phantom_jacobian, x0, noisy,
+        "plane-phantom",
+    )

@@ -25,7 +25,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_ransac():
+def test_two_process_sharded_ransac(tmp_path):
     port = _free_port()
     env = dict(
         os.environ,
@@ -34,10 +34,11 @@ def test_two_process_sharded_ransac():
             [REPO] + os.environ.get("PYTHONPATH", "").split(os.pathsep)
         ).rstrip(os.pathsep),
     )
+    ckpt = str(tmp_path / "sweep_state.npz")  # shared-filesystem checkpoint
     workers = [
         subprocess.Popen(
             [sys.executable, os.path.join(TESTS, "multiprocess_worker.py"),
-             str(pid), str(port)],
+             str(pid), str(port), ckpt],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,

@@ -115,6 +115,40 @@ def test_structured_samples_distinct_and_uniform():
     assert bool(jnp.all(counts == 8))
 
 
+def test_structured_shift_table_single_source():
+    """One shift-table definition: the planar US sweep (ops/us_fast), the
+    fused sphere sampling planes (ops/sphere_ransac.group_shifts) and
+    ``structured_samples`` must all evaluate the IDENTICAL hypothesis index
+    set for the same (key, n, k, groups)."""
+    from lsqrrecipes_tpu.ops.sphere_ransac import group_shifts
+    from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
+
+    n, k, groups = 64, 31, 4
+    key = jax.random.PRNGKey(9)
+    table = structured_shift_table(n, k, groups)
+    assert table.shape == (groups, k)
+    assert (table[:, 0] == 0).all()
+    # slots 1..k-1: sorted, distinct, nonzero
+    assert (np.diff(table[:, 1:], axis=1) > 0).all() and (table[:, 1] > 0).all()
+
+    # Materialized path (engine): index identity data through the sampler.
+    samples = structured_samples(key, jnp.arange(n), k, groups)   # [G*n, k]
+
+    # Planar-sweep construction (us_fast.structured_sweep): permutation +
+    # static rolls, hypothesis (g, i) slot a = perm[(i + s_ga) % n].
+    perm = np.asarray(jax.random.permutation(key, n))
+    planar = np.stack(
+        [np.stack([np.roll(perm, -int(s)) for s in row]) for row in table]
+    )                                                             # [G, k, n]
+    planar = np.moveaxis(planar, 1, 2).reshape(groups * n, k)
+    np.testing.assert_array_equal(np.asarray(samples), planar)
+
+    # Fused sphere planes use slots 1..k-1 of the same table.
+    np.testing.assert_array_equal(
+        np.asarray(group_shifts(groups, k, n)), table[:, 1:]
+    )
+
+
 def test_ransac_structured_line2d():
     normal, anchor, pts = make_outlier_line(jax.random.PRNGKey(12))
     est = Line2DEstimator(delta=1.5)
