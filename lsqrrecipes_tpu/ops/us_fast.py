@@ -25,9 +25,11 @@ hypothesize+vote step with TPU-shaped batched arithmetic:
     ``||R2 img + t2 - t1||^2 = ||img + R2^T t2 - R2^T t1||^2``, so each
     residual component is affine in only 15 per-element features
     ``[u, v, 1, R2^T t2 (3), vec(R2) (9)]`` (crosswire; pointer needs just 6
-    with ``w = R2^T (p - t2)``) instead of 31 — and the products run as
-    3-pass bf16-split matmuls (exact for bf16-split operands, ~2^-22
-    relative) rather than 6-pass HIGHEST.
+    with ``w = R2^T (p - t2)``) instead of 31 — run as HIGHEST-precision
+    (true-f32) dots: a 3-pass bf16-split product loses ~2^-17 relative on
+    the chip (the lo parts re-round to bf16 inside a DEFAULT dot) and
+    flipped up to 6 border votes per hypothesis, and the vote is a
+    negligible fraction of the fit cost here.
 
 Everything runs in float32 (throughput path — the f64 engine retains exact
 reference semantics); counts can differ from the f64 vote by border-point
@@ -40,24 +42,6 @@ import jax
 import jax.numpy as jnp
 
 from lsqrrecipes_tpu.linalg.small import qr_solve_lanes
-
-
-def _split3_matmul(a, f):
-    """~f32-accurate ``a[B, K] @ f[n, K]^T`` in three bf16-pass products.
-
-    Splitting each operand into bf16 high + low parts makes every partial
-    product exactly representable in a bf16-multiply/f32-accumulate pass;
-    dropping the lo*lo term leaves ~2^-22 relative error.
-    """
-    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
-    a_lo = a - a_hi
-    f_hi = f.astype(jnp.bfloat16).astype(jnp.float32)
-    f_lo = f - f_hi
-
-    def d(x, y):
-        return jnp.einsum("bk,nk->bn", x, y)
-
-    return d(a_hi, f_hi) + d(a_hi, f_lo) + d(a_lo, f_hi)
 
 
 # ---------------------------------------------------------------------------
@@ -653,8 +637,15 @@ def _fit_vote_chunk(kind, delta_sq, slot_pl, feats):
     params, valid = fit(slot_pl, k)
     d2 = None
     # The plane-phantom fit returns f64 params; the vote always runs f32.
+    # HIGHEST-precision dots (true-f32 six-pass): the 3-pass bf16-split vote
+    # lost ~2^-17 relative ON CHIP (the lo parts re-round to bf16 inside a
+    # DEFAULT dot), flipping up to 6 border votes per hypothesis at tracker
+    # magnitudes; the vote is tiny next to the fit, so the 2x dot cost is
+    # noise.
     for a_j in vote_rows(params.astype(feats.dtype)):
-        e = _split3_matmul(a_j, feats)
+        e = jnp.einsum(
+            "bk,nk->bn", a_j, feats, precision=jax.lax.Precision.HIGHEST
+        )
         d2 = e * e if d2 is None else d2 + e * e
     counts = jnp.sum(d2 < delta_sq, axis=-1)
     return jnp.where(valid, counts, -1), params
@@ -683,19 +674,17 @@ def _fit_and_vote_planes(kind, delta_sq, chunk, planes, feats):
     return counts.reshape(-1), params.reshape(-1, nparams)
 
 
-def structured_sweep(kind, est, data, key, groups: int):
-    """Zero-materialization structured hypothesize+vote.
+def build_sampling_planes(kind, data, key, groups: int):
+    """Planar sampling-plane construction: permutation + static rolls ->
+    ``(planes [k, F, groups * n], vote_feats [n, K])``.
 
-    Permutation + static rolls build the sampling planes in planar
-    ``[k, F, groups * n]`` form (batch on the LANES — a ``[B, k, 3, 3]``
-    sample pytree pads its trailing dims to (8, 128) tiles and its HBM
-    round-trip costs ~10x the whole fit+vote).  The hypothesis set is
-    IDENTICAL to ``sampling.structured_samples`` with the same key/groups.
-    Returns ``(counts int32[B], params f32[B, P])``.
+    Shared by the single-device sweep and the hypothesis-axis sharded sweep
+    (``parallel.fused.sharded_us_sweep``) so both evaluate the hypothesis
+    set of ``sampling.structured_samples`` with the same key/groups.
     """
     from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
 
-    fit, k, _, features, slot_features, _ = _KINDS[kind]
+    _, k, _, features, slot_features, _ = _KINDS[kind]
     feats_elem = slot_features(data)          # [n, F]
     feats_vote = features(data)               # [n, K]
     n = feats_elem.shape[0]
@@ -708,7 +697,22 @@ def structured_sweep(kind, est, data, key, groups: int):
                 [jnp.roll(planar, -s, axis=1) for s in shifts], axis=0
             )
         )                                     # [k, F, n]
-    planes = jnp.concatenate(slots, axis=-1)  # [k, F, groups * n]
+    return jnp.concatenate(slots, axis=-1), feats_vote
+
+
+def structured_sweep(kind, est, data, key, groups: int):
+    """Zero-materialization structured hypothesize+vote.
+
+    Permutation + static rolls build the sampling planes in planar
+    ``[k, F, groups * n]`` form (batch on the LANES — a ``[B, k, 3, 3]``
+    sample pytree pads its trailing dims to (8, 128) tiles and its HBM
+    round-trip costs ~10x the whole fit+vote).  The hypothesis set is
+    IDENTICAL to ``sampling.structured_samples`` with the same key/groups.
+    Returns ``(counts int32[B], params f32[B, P])``.
+    """
+    k = _KINDS[kind][1]
+    planes, feats_vote = build_sampling_planes(kind, data, key, groups)
+    n = feats_vote.shape[0]
     chunk = _chunk_size(planes.shape[-1], n, k)
     # groups * n is a multiple of n and chunk divides it by construction
     # only when chunk | n or n | chunk; pad up to the next chunk multiple.

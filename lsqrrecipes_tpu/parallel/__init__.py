@@ -14,7 +14,7 @@ from lsqrrecipes_tpu.parallel.mesh import (
     default_mesh,
     initialize_distributed,
 )
-from lsqrrecipes_tpu.parallel.fused import sharded_fused_sweep
+from lsqrrecipes_tpu.parallel.fused import sharded_fused_sweep, sharded_us_sweep
 from lsqrrecipes_tpu.parallel.sharded import (
     ShardedRansacResult,
     sharded_lsq_fit,
@@ -26,6 +26,7 @@ __all__ = [
     "initialize_distributed",
     "sharded_ransac",
     "sharded_fused_sweep",
+    "sharded_us_sweep",
     "sharded_lsq_fit",
     "ShardedRansacResult",
 ]

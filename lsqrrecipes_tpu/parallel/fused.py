@@ -76,3 +76,65 @@ def sharded_fused_sweep(
         lambda a: jnp.asarray(a, jnp.float32), data
     )
     return jax.jit(mapped)(data32)
+
+
+def sharded_us_sweep(
+    kind: str,
+    est,
+    data,
+    key,
+    groups: int,
+    mesh: Optional[Mesh] = None,
+    hypotheses_axis: str = "hypotheses",
+):
+    """Hypothesis-axis sharded US-calibration structured sweep.
+
+    The reference RANSACs all three US calibrations in its examples
+    (``crosswireUSCalibration.cxx:73``, ``pointerUSCalibration.cxx:84``,
+    ``planeUSCalibration.cxx:74``); this scales their batched
+    hypothesize+vote step (``ops.us_fast.structured_sweep``) across a mesh:
+    the planar ``[k, F, B]`` sampling planes shard on B (whole groups per
+    shard), the per-element vote features (tiny, ``[n, K]``) replicate, and
+    each shard runs the identical fit+vote program on its slice — zero
+    cross-shard communication until the caller reduces the counts.
+
+    Evaluates the IDENTICAL hypothesis set as the single-device
+    ``est.structured_sweep(data, key, groups)``; returns
+    ``(counts int32[B], params [B, P])`` sharded over the hypothesis axis.
+    ``groups`` must be divisible by the axis size.
+    """
+    from lsqrrecipes_tpu.ops import us_fast
+
+    mesh = mesh if mesh is not None else default_mesh((hypotheses_axis,))
+    h = mesh.shape[hypotheses_axis]
+    if groups % h:
+        raise ValueError(
+            f"groups ({groups}) must be divisible by the "
+            f"'{hypotheses_axis}' axis size ({h})"
+        )
+    planes, feats = us_fast.build_sampling_planes(kind, data, key, groups)
+    n = feats.shape[0]
+    bsz = planes.shape[-1]
+    b_shard = bsz // h
+    chunk = us_fast._chunk_size(b_shard, n, us_fast._KINDS[kind][1])
+    padded = -(-b_shard // chunk) * chunk
+    delta_sq = float(est.delta_squared)
+
+    def shard_fn(planes_blk, feats_repl):
+        blk = planes_blk
+        if padded != b_shard:
+            blk = jnp.concatenate(
+                [blk, blk[..., : padded - b_shard]], axis=-1
+            )
+        counts, params = us_fast._fit_and_vote_planes(
+            kind, delta_sq, chunk, blk, feats_repl
+        )
+        return counts[:b_shard], params[:b_shard]
+
+    mapped = shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(None, None, hypotheses_axis), P()),
+        out_specs=(P(hypotheses_axis), P(hypotheses_axis)),
+    )
+    return jax.jit(mapped)(planes, feats)

@@ -351,7 +351,7 @@ US_FAST = ("us_crosswire", "us_pointer", "us_plane_phantom")
 
 
 def check_us_fast(name, groups=4):
-    from tests.test_us_calibration import (
+    from lsqrrecipes_tpu.synthetic import (
         make_crosswire_data,
         make_plane_phantom_data,
         make_pointer_data,

@@ -14,7 +14,7 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, "/root/repo")
 
-from tests.test_us_calibration import make_plane_phantom_data  # noqa: E402
+from lsqrrecipes_tpu.synthetic import make_plane_phantom_data  # noqa: E402
 from lsqrrecipes_tpu.estimators.us_calibration import (  # noqa: E402
     PlanePhantomUSCalibrationEstimator,
 )
@@ -57,7 +57,9 @@ def time_sweeps(fn, tag, hyp_per_rep):
     return hyp_per_rep / best
 
 
-hps_fast = time_sweeps(sweeps_fast, "fast path (Cholesky inverse-iteration)", groups * n)
+hps_fast = time_sweeps(
+    sweeps_fast, "fast path (f32 planar QR + f64 Rayleigh-Ritz)", groups * n
+)
 
 # Baseline: the engine's generic path — vmapped f64 SVD minimal fits +
 # vote_counts — on a smaller B (it is orders of magnitude slower).

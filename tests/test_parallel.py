@@ -91,6 +91,57 @@ def test_sharded_ransac_pivot_frames():
     np.testing.assert_allclose(res.params[3:], t_w, atol=0.1)
 
 
+@pytest.mark.parametrize(
+    "kind,shape",
+    [
+        ("crosswire", (8, 1)),
+        ("crosswire", (4, 2)),
+        ("pointer", (8, 1)),
+        ("plane_phantom", (4, 2)),
+    ],
+)
+def test_sharded_us_sweep_matches_single_device(kind, shape):
+    """Hypothesis-axis sharded US-calibration sweeps (the reference's three
+    US example workloads, ``crosswireUSCalibration.cxx:73`` /
+    ``pointerUSCalibration.cxx:84`` / ``planeUSCalibration.cxx:74``) must
+    reproduce the single-device structured sweep exactly — same key, same
+    hypothesis set, same counts/params, just sharded on the batch axis."""
+    from lsqrrecipes_tpu.estimators import (
+        CrosswireUSCalibrationEstimator,
+        PlanePhantomUSCalibrationEstimator,
+        PointerUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.parallel import sharded_us_sweep
+    from tests.test_us_calibration import (
+        make_crosswire_data,
+        make_plane_phantom_data,
+        make_pointer_data,
+    )
+
+    if kind == "crosswire":
+        data, _, _ = make_crosswire_data(jax.random.PRNGKey(50), n=64)
+        est = CrosswireUSCalibrationEstimator(delta=3.0)
+    elif kind == "pointer":
+        data, _, _ = make_pointer_data(jax.random.PRNGKey(51), n=64)
+        est = PointerUSCalibrationEstimator(delta=3.0)
+    else:
+        data, _, _ = make_plane_phantom_data(jax.random.PRNGKey(52), n=64)
+        est = PlanePhantomUSCalibrationEstimator(delta=1.0)
+
+    mesh = default_mesh(shape=shape, devices=CPUS)
+    key = jax.random.PRNGKey(53)
+    groups = 8
+    counts_s, params_s = sharded_us_sweep(
+        kind, est, data, key, groups, mesh=mesh
+    )
+    counts_1, params_1 = est.structured_sweep(data, key, groups)
+    assert int(jnp.max(counts_1)) > 32  # the sweep actually finds structure
+    np.testing.assert_array_equal(np.asarray(counts_s), np.asarray(counts_1))
+    np.testing.assert_allclose(
+        np.asarray(params_s), np.asarray(params_1), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_sharded_lsq_fit_matches_local():
     key = jax.random.PRNGKey(31)
     a = jax.random.uniform(key, (160, 5), minval=-1, maxval=1)
