@@ -295,6 +295,86 @@ def bench_us(args):
     )
 
 
+def bench_phantom(args):
+    """Plane-phantom US-calibration (k=31) RANSAC throughput vs serial C++.
+
+    TPU path: the planar structured sweep (``ops/us_fast.py``) — f32 planar
+    Householder QR of the homogeneous 31x31 minimal systems + f64
+    Rayleigh-Ritz null-vector refinement + HIGHEST-precision plane-distance
+    vote.  The C++ baseline (``native/phantom_baseline.cpp``) solves each
+    minimal system with a normal-matrix partial-pivot LU + inverse iteration
+    and votes precomputed feature rows with the reference's early exit —
+    deliberately favored vs the reference's per-hypothesis 31x31 SVD
+    (``PlanePhantomUSCalibrationParametersEstimator.cxx:119-355``), so the
+    reported ratio is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import PlanePhantomUSCalibrationEstimator
+    from lsqrrecipes_tpu.geometry import Frame
+    from lsqrrecipes_tpu.synthetic import make_plane_phantom_data
+
+    n = 64  # matches the k=31 example workload scale (50-80 elements)
+    cpp_hps = build_and_run_cpp_baseline(
+        n, args.baseline_hypotheses // 8, name="phantom_baseline"
+    )
+
+    # Same data model as the C++ baseline: plane-constrained poses, 0.5 px
+    # image noise, 10% of poses shoved off the phantom plane (k = 31 puts
+    # the clean-sample probability at 0.9^31 ~ 3.8%; 20% outliers would
+    # starve any realistic hypothesis budget, C++ and TPU alike).
+    (frames, q), _, true = make_plane_phantom_data(
+        jax.random.PRNGKey(42), n=n, sigma=0.5
+    )
+    n_out = n // 10
+    k1, k2 = jax.random.split(jax.random.PRNGKey(43))
+    shift = (20.0 + 40.0 * jax.random.uniform(k1, (n_out, 1))) * jnp.sign(
+        jax.random.normal(k2, (n_out, 1))
+    )
+    frames = Frame(
+        frames.r, frames.t.at[-n_out:].add(shift * true["r1_row3"])
+    )
+    data = (frames, q)
+
+    est = PlanePhantomUSCalibrationEstimator(delta=1.0)
+    groups = max(1, min(args.hypotheses // n, 512))
+    hyp_per_sweep = groups * n
+    reps = 4
+
+    @jax.jit
+    def sweeps(seed0):
+        def body(carry, i):
+            k = jax.random.fold_in(jax.random.PRNGKey(5), seed0 + i)
+            counts, _ = est.structured_sweep(data, k, groups)
+            return carry, jnp.max(counts)
+
+        _, tops = jax.lax.scan(body, 0, jnp.arange(reps))
+        return tops
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        tops = np.array(sweeps(1000 * (trial + 1)))
+        t = (time.perf_counter() - t0) / reps
+        assert (tops > n // 2).all(), "phantom sweeps missed the structure"
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = hyp_per_sweep / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "phantom_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
 def bench_generic(args):
     """The f64 parity engine (``ransac``'s hypothesize_and_vote path) on the
     sphere workload — the faithful-semantics path, not the f32 redesigns.
@@ -464,7 +544,7 @@ def main():
     parser.add_argument(
         "--metric",
         default="ransac",
-        choices=["ransac", "lm", "pivot", "dense", "us", "generic"],
+        choices=["ransac", "lm", "pivot", "dense", "us", "phantom", "generic"],
     )
     parser.add_argument(
         "--path",
@@ -491,6 +571,9 @@ def main():
         return
     if args.metric == "us":
         bench_us(args)
+        return
+    if args.metric == "phantom":
+        bench_phantom(args)
         return
     if args.metric == "generic":
         bench_generic(args)

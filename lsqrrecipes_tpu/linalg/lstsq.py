@@ -17,6 +17,22 @@ import jax.numpy as jnp
 from lsqrrecipes_tpu.config import EPS
 
 
+def svd_f64(a, full_matrices=False):
+    """``jnp.linalg.svd`` computed in f64 regardless of input dtype.
+
+    Two reasons: (1) the reference's vnl pipeline is all-double, so the
+    DBL_EPSILON-scale rank thresholds only make sense on f64 singular
+    values; (2) XLA:TPU on this toolchain SIGABRTs compiling **f32** SVD
+    (TransposeFolding ``Check failed: buffer != nullptr``) while f64 SVD
+    compiles fine — chip-isolated 2026-08-20.  Callers cast results back
+    to their working dtype as needed.  Under disabled x64 the upcast is a
+    no-op and the caller is on its own (the fused kernels never SVD).
+    """
+    return jnp.linalg.svd(
+        a.astype(jnp.float64), full_matrices=full_matrices
+    )
+
+
 def svd_rank(s, eps=EPS):
     """Rank after ``zero_out_absolute(eps)``: #{sigma_i > eps}.
 
@@ -34,12 +50,12 @@ def pinv_solve(a, b, eps=EPS):
     Matches ``vnl_matrix_inverse`` + ``zero_out_absolute(eps)``: singular
     values ``<= eps`` contribute nothing, and ``rank`` counts the survivors.
     """
-    u, s, vt = jnp.linalg.svd(a, full_matrices=False)
+    u, s, vt = svd_f64(a, full_matrices=False)
     keep = s > eps
     s_inv = jnp.where(keep, 1.0 / jnp.where(keep, s, 1.0), 0.0)
-    utb = jnp.einsum("...ij,...i->...j", u, b)
+    utb = jnp.einsum("...ij,...i->...j", u, b.astype(u.dtype))
     x = jnp.einsum("...ji,...j->...i", vt, s_inv * utb)
-    return x, jnp.sum(keep, axis=-1)
+    return x.astype(a.dtype), jnp.sum(keep, axis=-1)
 
 
 def masked_pinv_solve(a, b, row_mask, eps=EPS):
@@ -65,7 +81,7 @@ def nullvector(a, eps=EPS):
     null space check ``rank == n - 1``.  Matches ``vnl_svd::nullvector``
     (``PlaneParametersEstimator.hxx:81-91``).
     """
-    _, s, vt = jnp.linalg.svd(a, full_matrices=True)
-    x = vt[..., -1, :]
+    _, s, vt = svd_f64(a, full_matrices=True)
+    x = vt[..., -1, :].astype(a.dtype)
     # s has min(m, n) entries; rank counts survivors above eps.
     return x, svd_rank(s, eps)

@@ -34,7 +34,10 @@ def new_state(key, n, nparams):
 
 
 def save_state(path, state: SweepState):
-    tmp = path + ".tmp.npz"
+    # Unique-per-process tmp name: two writers racing on the same path must
+    # never consume each other's tmp (write-then-rename stays atomic even if
+    # the single-writer convention is violated upstream).
+    tmp = f"{path}.tmp.{os.getpid()}.npz"
     with open(tmp, "wb") as f:
         np.savez(
             f,

@@ -258,7 +258,8 @@ def ransac_batched(
 
     Note: estimators whose ``vote_counts`` dispatches to a Pallas kernel
     (3D sphere, f32, B % 512 == 0) rely on ``pallas_call``'s vmap batching
-    rule on TPU; everything else lowers to plain batched XLA.
+    rule on TPU (chip-verified, ``scripts/chip_check.py`` fleet section);
+    everything else lowers to plain batched XLA.
     """
     n = _data_size(jax.tree_util.tree_map(lambda a: a[0], data))
     if n < est.k:

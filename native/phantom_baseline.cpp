@@ -114,7 +114,7 @@ int main(int argc, char **argv) {
       res += r1row3[j] * (m + t2[j]);
     }
     for (int j = 0; j < 3; j++) t2[j] -= res * r1row3[j];  // onto the plane
-    if (i % 5 == 4) {  // 20% outliers: poses shoved off the phantom plane
+    if (i % 10 == 9) {  // 10% outliers: poses shoved off the phantom plane
       double s = (20.0 + 40.0 * uni(rng)) * (uni(rng) < 0.5 ? -1.0 : 1.0);
       for (int j = 0; j < 3; j++) t2[j] += s * r1row3[j];
     } else {           // inliers: 0.5 px image noise

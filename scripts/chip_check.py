@@ -406,10 +406,71 @@ def check_us_fast(name, groups=4):
     return ok
 
 
+def check_fleet(groups=4):
+    """Fleet path (``ransac_batched``) on the real chip: the Pallas sphere
+    vote under ``pallas_call``'s vmap batching rule
+    (``ransac/engine.py:259-261``) must match per-dataset single runs
+    exactly (same keys -> same hypothesis sets)."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+    from lsqrrecipes_tpu.ransac import ransac_batched
+    from lsqrrecipes_tpu.ransac.engine import ransac_structured
+
+    n, d_count = 512, 4
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+    datasets = []
+    for i in range(d_count):
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(60 + i), 3)
+        dirs = jax.random.normal(k1, (n * 4 // 5, 3), jnp.float32)
+        dirs = dirs / jnp.linalg.norm(dirs, axis=1, keepdims=True)
+        center = jnp.asarray([5.0 + i, -2.0, 11.0], jnp.float32)
+        inl = center + 25.0 * dirs
+        inl = inl + 0.3 * jax.random.normal(k2, inl.shape, jnp.float32)
+        out = jax.random.uniform(
+            k3, (n - inl.shape[0], 3), jnp.float32, -40.0, 40.0
+        )
+        datasets.append(jnp.concatenate([inl, out]))
+    stacked = jnp.stack(datasets)
+    keys = jax.random.split(jax.random.PRNGKey(61), d_count)
+
+    fleet = ransac_batched(est, stacked, keys, num_hypotheses=groups * n)
+    fleet_counts = np.asarray(jax.device_get(fleet.best_count))
+    fleet_params = np.asarray(jax.device_get(fleet.params))
+
+    single_counts, single_params = [], []
+    for i in range(d_count):
+        res = ransac_structured(
+            est, datasets[i], keys[i], num_hypotheses=groups * n
+        )
+        single_counts.append(int(res.best_count))
+        single_params.append(np.asarray(jax.device_get(res.params)))
+    single_counts = np.asarray(single_counts)
+    single_params = np.stack(single_params)
+
+    dcount = np.abs(fleet_counts - single_counts)
+    dparam = np.abs(fleet_params - single_params).max()
+    ok = (
+        bool(np.all(jax.device_get(fleet.valid)))
+        and dcount.max() == 0
+        and dparam < 1e-5
+        and single_counts.min() > (4 * n) // 5 - n // 10
+    )
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} fleet_sphere: max|dcount|={dcount.max()} "
+        f"max|dparam|={dparam:.2e} counts={fleet_counts.tolist()}",
+        flush=True,
+    )
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--families", nargs="*", default=sorted(FAMILIES) + list(US_FAST)
+        "--families",
+        nargs="*",
+        default=sorted(FAMILIES) + list(US_FAST) + ["fleet_sphere"],
     )
     ap.add_argument("--groups", type=int, default=6)
     args = ap.parse_args()
@@ -418,11 +479,12 @@ def main():
     failures = 0
     for name in args.families:
         try:
-            checker = (
-                (lambda n: check_us_fast(n))
-                if name in US_FAST
-                else (lambda n: check_family(n, args.groups))
-            )
+            if name == "fleet_sphere":
+                checker = lambda n: check_fleet()  # noqa: E731
+            elif name in US_FAST:
+                checker = lambda n: check_us_fast(n)  # noqa: E731
+            else:
+                checker = lambda n: check_family(n, args.groups)  # noqa: E731
             if not checker(name):
                 failures += 1
         except Exception as e:  # surface, keep checking the rest

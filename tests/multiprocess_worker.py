@@ -104,7 +104,13 @@ def main():
             checkpoint_path=ckpt,
         )  # "killed" after round 1
         if pid != 0:
-            assert not os.path.exists(ckpt + ".tmp.npz"), "non-writer wrote"
+            # This process is the non-writer: its own tmp (tmp names carry
+            # the writer's pid) must never have been created.  Process 0's
+            # in-flight tmp may legitimately coexist, so only our own pid
+            # is checked.
+            assert not os.path.exists(
+                f"{ckpt}.tmp.{os.getpid()}.npz"
+            ), "non-writer wrote"
         multihost_utils.sync_global_devices("ckpt-round1-written")
         assert os.path.exists(ckpt), "process 0 checkpoint missing"
         assert load_state(ckpt).evaluated == 256
