@@ -295,6 +295,114 @@ def bench_us(args):
     )
 
 
+def bench_pointer(args):
+    """Calibrated-pointer US-calibration RANSAC throughput vs serial C++.
+
+    TPU path (default): the whole sweep as ONE Pallas kernel
+    (ops/fused_sweep.py "pointer" family) — in-kernel lanes-form 9x9 f32
+    Householder QR minimal fits, Newton-polar orthonormalization,
+    R2-orthogonality band vote via 3-pass bf16-split products.  ``--path
+    scan``: the XLA planar-lane structured sweep (ops/us_fast.py).  The C++
+    baseline (native/pointer_baseline.cpp) runs the equivalent pipeline
+    serially with the reference's early-exit vote loop — favored vs the
+    reference's 9x9 SVD pseudo-inverse per hypothesis
+    (``SinglePointTarget...cxx:763-914``), so the ratio is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import PointerUSCalibrationEstimator
+    from lsqrrecipes_tpu.estimators.us_calibration import _euler_zyx_matrix
+    from lsqrrecipes_tpu.geometry import Frame
+
+    cpp_hps = build_and_run_cpp_baseline(
+        args.points, args.baseline_hypotheses // 4, name="pointer_baseline"
+    )
+
+    # Same data model as the C++ baseline: known calibration, random probe
+    # poses, 20% corrupted tip positions, 0.5 px image noise.
+    n = args.points
+    key = jax.random.PRNGKey(43)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    m_x, m_y = 0.143, 0.139
+    r3 = _euler_zyx_matrix(1.1, 0.4, -0.7)
+    t3 = jnp.asarray([20.0, -15.0, 40.0])
+    q = jax.random.uniform(k1, (n, 2)) * jnp.asarray([640.0, 480.0])
+    w2 = jax.random.uniform(k2, (n, 3), minval=0.0, maxval=jnp.pi)
+    r2 = jax.vmap(lambda w: _euler_zyx_matrix(w[2], w[1], w[0]))(w2)
+    t2 = 200.0 * (jax.random.uniform(k6, (n, 3)) - 0.5)
+    img = q[:, 0:1] * (m_x * r3[:, 0]) + q[:, 1:2] * (m_y * r3[:, 1]) + t3
+    p = t2 + jnp.einsum("nij,nj->ni", r2, img)
+    n_out = n // 5
+    bad = p[-n_out:] + (30.0 + 50.0 * jax.random.uniform(k3, (n_out, 3))) * jnp.sign(
+        jax.random.normal(k4, (n_out, 3))
+    )
+    p = p.at[-n_out:].set(bad)
+    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    data = (Frame(r2, t2), q, p)
+
+    est = PointerUSCalibrationEstimator(delta=3.0)
+    reps = 4
+    if args.path == "fused_sweep":
+        from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+        total_groups = max(1, (args.hypotheses // n)) * args.steps // 4
+        hyp_per_sweep = total_groups * n
+
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                count, _ = fs.fused_sweep(
+                    "pointer", data,
+                    jax.random.fold_in(jax.random.PRNGKey(0), seed0 + i),
+                    total_groups, est.delta,
+                )
+                return carry, count
+
+            _, counts = jax.lax.scan(body, 0, jnp.arange(reps))
+            return counts
+    else:
+        groups_per_step = max(1, min(16, args.hypotheses // n // 4))
+        steps = max(1, args.hypotheses // (groups_per_step * n))
+        hyp_per_sweep = steps * groups_per_step * n
+
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                k = jax.random.fold_in(jax.random.PRNGKey(17), seed0 + i)
+                counts, _ = est.structured_sweep(data, k, groups_per_step)
+                return carry, jnp.max(counts)
+
+            _, counts = jax.lax.scan(
+                body, 0, jnp.arange(reps * steps)
+            )
+            return counts
+
+    np.array(sweeps(0))
+    elapsed = None
+    for trial in range(3):
+        t0 = time.perf_counter()
+        counts = np.array(sweeps(1000 * (trial + 1)))
+        t = (time.perf_counter() - t0) / reps
+        assert (counts > (4 * n) // 5 - n // 10).all(), (
+            "pointer sweeps missed the structure"
+        )
+        elapsed = t if elapsed is None else min(elapsed, t)
+
+    tpu_hps = hyp_per_sweep / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "pointer_us_calibration_ransac_hypotheses_per_s",
+                "value": round(tpu_hps, 1),
+                "unit": "hypotheses/s",
+                "vs_baseline": round(tpu_hps / cpp_hps, 2),
+            }
+        )
+    )
+
+
 def bench_phantom(args):
     """Plane-phantom US-calibration (k=31) RANSAC throughput vs serial C++.
 
@@ -544,7 +652,10 @@ def main():
     parser.add_argument(
         "--metric",
         default="ransac",
-        choices=["ransac", "lm", "pivot", "dense", "us", "phantom", "generic"],
+        choices=[
+            "ransac", "lm", "pivot", "dense", "us", "pointer", "phantom",
+            "generic",
+        ],
     )
     parser.add_argument(
         "--path",
@@ -571,6 +682,9 @@ def main():
         return
     if args.metric == "us":
         bench_us(args)
+        return
+    if args.metric == "pointer":
+        bench_pointer(args)
         return
     if args.metric == "phantom":
         bench_phantom(args)

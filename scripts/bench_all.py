@@ -17,7 +17,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "docs", "BENCH_ALL.json")
 
-METRICS = ["ransac", "generic", "lm", "pivot", "dense", "us", "phantom"]
+METRICS = ["ransac", "generic", "lm", "pivot", "dense", "us", "pointer",
+           "phantom"]
 
 
 def main():

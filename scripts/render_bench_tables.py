@@ -1,0 +1,51 @@
+#!/usr/bin/env python
+"""Render the committed bench matrix (docs/BENCH_ALL.json) as the markdown
+table embedded in README.md / docs/PERF.md — run after scripts/bench_all.py
+and paste (or diff) the output so every number in the docs traces back to
+the committed artifact.
+"""
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+LABELS = {
+    "ransac": ("3D sphere RANSAC (fused whole-sweep kernel)", "hyp/s"),
+    "generic": ("3D sphere RANSAC, faithful-f64 generic engine", "hyp/s"),
+    "lm": ("batched Levenberg-Marquardt (fused megakernel)", "iter/s"),
+    "pivot": ("pivot-calibration RANSAC (fused family)", "hyp/s"),
+    "dense": ("dense 6-unknown linear RANSAC (fused family)", "hyp/s"),
+    "us": ("crosswire US-calibration RANSAC (fused family)", "hyp/s"),
+    "pointer": ("pointer US-calibration RANSAC (fused family)", "hyp/s"),
+    "phantom": ("plane-phantom US-calibration RANSAC (k=31, planar XLA)",
+                "hyp/s"),
+}
+
+
+def fmt(v):
+    if v >= 1e6:
+        return f"{v / 1e6:.1f}M"
+    if v >= 1e3:
+        return f"{v / 1e3:.1f}k"
+    return f"{v:.1f}"
+
+
+def main():
+    with open(os.path.join(REPO, "docs", "BENCH_ALL.json")) as f:
+        payload = json.load(f)
+    print(f"Measured {payload['date']} on {payload['device']};")
+    print(f"baseline: {payload['baseline']}.\n")
+    print("| metric | workload | rate | vs C++ -O3 single core |")
+    print("|---|---|---|---|")
+    for key, res in payload["results"].items():
+        if "error" in res:
+            print(f"| `--metric {key}` | (FAILED rc={res['error']}) | — | — |")
+            continue
+        label, unit = LABELS.get(key, (res["metric"], res["unit"]))
+        vs = res.get("vs_baseline")
+        vs_s = f"**{vs}x**" if vs is not None else "—"
+        print(f"| `--metric {key}` | {label} | {fmt(res['value'])} {unit} | {vs_s} |")
+
+
+if __name__ == "__main__":
+    main()
