@@ -87,7 +87,7 @@ def bench_pivot(args):
     t_out = jax.random.uniform(k4, (n - n_in, 3), minval=-200.0, maxval=200.0)
     frames = Frame(jnp.concatenate([r_in, r_out]), jnp.concatenate([t_in, t_out]))
 
-    total_groups = max(1, (args.hypotheses // n)) * args.steps // 2
+    total_groups = max(1, (args.hypotheses // n) * args.steps // 2)
     reps = 8
 
     @jax.jit
@@ -152,7 +152,7 @@ def bench_dense(args):
     )
     rows = jnp.concatenate([a, b[:, None]], axis=1)
 
-    total_groups = max(1, (args.hypotheses // n)) * args.steps // 2
+    total_groups = max(1, (args.hypotheses // n) * args.steps // 2)
     reps = 8
 
     @jax.jit
@@ -233,7 +233,8 @@ def bench_us(args):
         jax.random.normal(k4, (n_out, 3))
     )
     t2 = t2.at[-n_out:].set(bad)
-    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    # Image noise on inliers only, matching native/us_baseline.cpp:173-178.
+    q = q.at[: n - n_out].add(0.5 * jax.random.normal(k5, (n - n_out, 2)))
     data = (Frame(r2, t2), q)
 
     est = CrosswireUSCalibrationEstimator(delta=3.0)
@@ -241,7 +242,7 @@ def bench_us(args):
     if args.path == "fused_sweep":
         from lsqrrecipes_tpu.ops import fused_sweep as fs
 
-        total_groups = max(1, (args.hypotheses // n)) * args.steps // 4
+        total_groups = max(1, (args.hypotheses // n) * args.steps // 4)
         hyp_per_sweep = total_groups * n
 
         @jax.jit
@@ -339,7 +340,8 @@ def bench_pointer(args):
         jax.random.normal(k4, (n_out, 3))
     )
     p = p.at[-n_out:].set(bad)
-    q = q + 0.5 * jax.random.normal(k5, q.shape)
+    # Image noise on inliers only, matching native/pointer_baseline.cpp:177-182.
+    q = q.at[: n - n_out].add(0.5 * jax.random.normal(k5, (n - n_out, 2)))
     data = (Frame(r2, t2), q, p)
 
     est = PointerUSCalibrationEstimator(delta=3.0)
@@ -347,7 +349,7 @@ def bench_pointer(args):
     if args.path == "fused_sweep":
         from lsqrrecipes_tpu.ops import fused_sweep as fs
 
-        total_groups = max(1, (args.hypotheses // n)) * args.steps // 4
+        total_groups = max(1, (args.hypotheses // n) * args.steps // 4)
         hyp_per_sweep = total_groups * n
 
         @jax.jit

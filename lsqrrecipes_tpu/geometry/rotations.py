@@ -19,9 +19,7 @@ Conventions (identical to the reference):
 
 import jax.numpy as jnp
 
-from lsqrrecipes_tpu.config import SMALL_ANGLE
-
-HALF_PI = jnp.pi / 2.0
+from lsqrrecipes_tpu.config import HALF_PI, SMALL_ANGLE
 
 
 def matrix_from_quaternion(q):

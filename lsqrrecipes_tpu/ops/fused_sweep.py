@@ -1145,16 +1145,19 @@ def _make_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "fit_vote", "k_slots", "d", "total_groups", "n", "gps", "vote_cols"
+        "fit_vote", "k_slots", "d", "total_groups", "n", "gps", "vote_cols",
+        "interpret",
     ),
 )
-def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n, gps, vote_cols):
+def _sweep_call(fit_vote, coords, p, k_slots, d, total_groups, n, gps,
+                vote_cols, interpret=False):
     with jax.enable_x64(False):
         m, b, mask = sweep_static(n, k_slots)
         kernel = _make_kernel(fit_vote, k_slots, d, n, b, m, mask, gps, vote_cols)
         return pl.pallas_call(
             kernel,
             grid=(-(-total_groups // gps),),
+            interpret=interpret,
             in_specs=[
                 pl.BlockSpec(coords.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec(p.shape, lambda g: (0, 0), memory_space=pltpu.VMEM),
@@ -1248,6 +1251,15 @@ def supports_data(family: str, data) -> bool:
     return True
 
 
+def _auto_interpret() -> bool:
+    """Interpret-mode default: True when the computation will land on the
+    host CPU (tests/dry runs), False on a real chip."""
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return getattr(dev, "platform", None) == "cpu"
+    return jax.default_backend() == "cpu"
+
+
 def fused_sweep(
     family: str,
     data,
@@ -1256,6 +1268,7 @@ def fused_sweep(
     delta: float,
     groups_per_step: int = 1,
     vote_subsample: int = 0,
+    interpret=None,
 ):
     """Run a whole fused sweep: ``total_groups * n`` hypotheses, one kernel.
 
@@ -1278,6 +1291,11 @@ def fused_sweep(
     does).  This trades exact vote ranking for an
     ~``n/vote_subsample``-fold cut in MXU work; with a clear dominant
     structure the selected consensus is the same.  0 = exact full vote.
+
+    ``interpret`` runs the kernel in Pallas interpret mode; the default
+    (``None``) auto-selects interpret when the default device is the host
+    CPU (tests / virtual-mesh dry runs).  Interpret mode is NOT a numerics
+    gate; real-chip behavior is verified by ``scripts/chip_check.py``.
     """
     factory, k_slots, feat_rows, npr, features, pack_p, _check = _FAMILIES[family]
     n = _data_n(data)
@@ -1296,9 +1314,11 @@ def fused_sweep(
         p = pack_p(data)
         vote_cols = p.shape[1]
     coords = slot_planes(_pad_features(features(data), n_fit), key, k_slots)
+    if interpret is None:
+        interpret = _auto_interpret()
     best = _sweep_call(
         factory(delta_arg), coords, p, k_slots, feat_rows, total_groups, n_fit,
-        groups_per_step, vote_cols,
+        groups_per_step, vote_cols, bool(interpret),
     )
     params = best[0:npr, 0]
     post = _POSTPROCESS.get(family)

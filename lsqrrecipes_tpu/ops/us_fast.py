@@ -41,6 +41,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lsqrrecipes_tpu.config import HALF_PI, SMALL_ANGLE
 from lsqrrecipes_tpu.linalg.small import qr_solve_lanes
 
 
@@ -83,12 +84,10 @@ def euler_zyx_plus_lanes(r):
     """Lanes-form '+sqrt' Euler-ZYX extraction with the gimbal branch
     (``SinglePointTarget...cxx:230-247``): returns ``(wz, wy, wx)`` [B]."""
     wy = jnp.arctan2(-r[2][0], jnp.sqrt(r[0][0] ** 2 + r[1][0] ** 2))
-    small_angle = 0.008726535498373935
-    half_pi = 1.5707963267948966
     gimbal = jnp.logical_not(
         jnp.logical_and(
-            jnp.abs(wy - half_pi) > small_angle,
-            jnp.abs(wy + half_pi) > small_angle,
+            jnp.abs(wy - HALF_PI) > SMALL_ANGLE,
+            jnp.abs(wy + HALF_PI) > SMALL_ANGLE,
         )
     )
     cy = jnp.where(gimbal, 1.0, jnp.cos(wy))
@@ -422,12 +421,10 @@ def _plane_phantom_fit_slots(slot_pl, k: int):
     r1 = xr[:, 27:30]                             # R1 row 3 (plane normal)
     t1_z = xr[:, 30]
     wy1 = jnp.arctan2(-r1[:, 0], jnp.sqrt(r1[:, 1] ** 2 + r1[:, 2] ** 2))
-    small_angle = 0.008726535498373935
-    half_pi = 1.5707963267948966
     gimbal = jnp.logical_not(
         jnp.logical_and(
-            jnp.abs(wy1 - half_pi) > small_angle,
-            jnp.abs(wy1 + half_pi) > small_angle,
+            jnp.abs(wy1 - HALF_PI) > SMALL_ANGLE,
+            jnp.abs(wy1 + HALF_PI) > SMALL_ANGLE,
         )
     )
     cy1 = jnp.where(gimbal, 1.0, jnp.cos(wy1))

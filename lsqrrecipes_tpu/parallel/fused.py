@@ -42,6 +42,7 @@ def sharded_fused_sweep(
     mesh: Optional[Mesh] = None,
     hypotheses_axis: str = "hypotheses",
     vote_subsample: int = 0,
+    interpret=None,
 ):
     """Whole-sweep fused RANSAC over a mesh.
 
@@ -49,6 +50,7 @@ def sharded_fused_sweep(
     ``total_groups`` is the GLOBAL budget; each of the H shards runs
     ``ceil(total_groups / H)`` groups with an independent key.  Returns
     ``(best_count int32[], best_params f32[n_param_rows])`` — replicated.
+    ``interpret`` runs the Pallas kernel in interpret mode (CPU meshes).
     """
     mesh = mesh if mesh is not None else default_mesh((hypotheses_axis,))
     h = mesh.shape[hypotheses_axis]
@@ -59,7 +61,7 @@ def sharded_fused_sweep(
         shard_key = jax.random.fold_in(key, rank)
         count, params = fs.fused_sweep(
             family, shard_data, shard_key, groups_per_shard, delta,
-            vote_subsample=vote_subsample,
+            vote_subsample=vote_subsample, interpret=interpret,
         )
         all_counts = jax.lax.all_gather(count, hypotheses_axis)
         winner = jnp.argmax(all_counts)          # lowest rank wins ties

@@ -37,7 +37,14 @@ def main():
     print(f"baseline: {payload['baseline']}.\n")
     print("| metric | workload | rate | vs C++ -O3 single core |")
     print("|---|---|---|---|")
-    for key, res in payload["results"].items():
+    # Iterate the full known-metric list, not just keys present in the
+    # artifact, so a metric that never ran shows up as MISSING instead of
+    # silently vanishing from the table (advisor round 3).
+    for key in LABELS:
+        res = payload["results"].get(key)
+        if res is None:
+            print(f"| `--metric {key}` | (MISSING from artifact) | — | — |")
+            continue
         if "error" in res:
             print(f"| `--metric {key}` | (FAILED rc={res['error']}) | — | — |")
             continue

@@ -390,3 +390,33 @@ def test_plane_phantom_fast_path_rejects_degenerate_samples():
     samples = (Frame(frames.r[idx], frames.t[idx]), q[idx])
     counts, params = est.fit_and_vote(samples, noisy)
     assert bool(jnp.all(counts == -1))
+
+
+def test_euler_extraction_scalar_matches_lanes():
+    """Coupling test: the scalar '+sqrt' Euler-ZYX extraction
+    (``us_calibration._extract_euler_plus``) and the lanes-form batched one
+    (``ops.us_fast.euler_zyx_plus_lanes``) implement the SAME reference
+    semantics (``SinglePointTarget...cxx:230-247``) — assert they agree on a
+    batch of random rotations including gimbal-zone cases."""
+    from lsqrrecipes_tpu.estimators.us_calibration import _extract_euler_plus
+    from lsqrrecipes_tpu.ops.us_fast import euler_zyx_plus_lanes
+
+    key = jax.random.PRNGKey(7)
+    angles = jax.random.uniform(
+        key, (64, 3), minval=-jnp.pi, maxval=jnp.pi
+    )
+    # Force gimbal-zone wy values (within SMALL_ANGLE of +/- pi/2) on a
+    # quarter of the batch, including dead-center and just-inside-the-edge.
+    gz = jnp.asarray(
+        [jnp.pi / 2, -jnp.pi / 2, jnp.pi / 2 - 0.005, -jnp.pi / 2 + 0.005]
+    )
+    angles = angles.at[:16, 1].set(jnp.tile(gz, 4))
+    rs = jax.vmap(lambda a: _euler_zyx_matrix(a[0], a[1], a[2]))(angles)
+
+    wz_s, wy_s, wx_s = jax.vmap(_extract_euler_plus)(rs)
+    r_lanes = [[rs[:, i, j] for j in range(3)] for i in range(3)]
+    wz_l, wy_l, wx_l = euler_zyx_plus_lanes(r_lanes)
+
+    np.testing.assert_allclose(np.asarray(wz_l), np.asarray(wz_s), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(wy_l), np.asarray(wy_s), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(wx_l), np.asarray(wx_s), atol=1e-12)
