@@ -559,7 +559,11 @@ def bench_lm(args):
 
     B independent LM problems (one per RANSAC consensus refit in a real
     sweep) run as one vmapped ``lax.while_loop``; iterations/s counts
-    B x (iterations to convergence of the slowest lane).
+    B x (iterations to convergence of the slowest lane) — the amount of
+    iteration work the lockstep batch actually executes.  The C++ baseline
+    (``native/lm_baseline.cpp``) runs the same damped-normal-equation LM
+    (Nielsen schedule, gtol stop) serially on the same workload and counts
+    its actual iterations, so the ratio compares work throughput.
     """
     import jax
     import jax.numpy as jnp
@@ -571,6 +575,18 @@ def bench_lm(args):
     from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt
 
     b, n = args.hypotheses // 32, 256
+
+    src = os.path.join(REPO, "native", "lm_baseline.cpp")
+    binary = os.path.join(REPO, "native", "lm_baseline")
+    if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", binary, src], check=True
+        )
+    out = subprocess.run(
+        [binary, str(b), str(n)], check=True, capture_output=True, text=True
+    )
+    cpp_ips = float(json.loads(out.stdout)["iters_per_s"])
+
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     centers = jax.random.uniform(k1, (b, 3), jnp.float32, -50, 50)
@@ -643,7 +659,108 @@ def bench_lm(args):
                 "metric": "lm_iterations_per_s",
                 "value": round(rate, 1),
                 "unit": "LM iterations/s (batched problems x inner steps)",
-                "vs_baseline": None,
+                "vs_baseline": round(rate / cpp_ips, 2),
+            }
+        )
+    )
+
+
+def bench_lm_pointer(args):
+    """Pointer-US-calibration LM refits/second: sufficient-statistics LM.
+
+    B independent 8-parameter pointer calibrations (n observations each)
+    solved by :mod:`lsqrrecipes_tpu.linalg.stats_lm`: the observations are
+    touched ONCE (per-problem feature Gram matrices, one einsum), then every
+    LM iteration is O(1) dense algebra per problem, vmapped over lanes.  The
+    C++ baseline (``native/lm_pointer_baseline.cpp``) mirrors the
+    reference's per-iteration O(n) Jacobian accumulation
+    (``SinglePointTarget...cxx:916-973``) with favored micro-optimizations
+    (pre-rotated residuals, analytic J, 8x8 Cholesky).  Both sides use the
+    same damping schedule and gtol, so iterations/s compares like work.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators.us_calibration import _euler_zyx_matrix
+    from lsqrrecipes_tpu.geometry import Frame
+    from lsqrrecipes_tpu.linalg import LMConfig
+    from lsqrrecipes_tpu.linalg import stats_lm
+
+    b, n = args.hypotheses // 32, 256
+
+    src = os.path.join(REPO, "native", "lm_pointer_baseline.cpp")
+    binary = os.path.join(REPO, "native", "lm_pointer_baseline")
+    if not os.path.exists(binary) or os.path.getmtime(binary) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-o", binary, src], check=True
+        )
+    out = subprocess.run(
+        [binary, str(b), str(n)], check=True, capture_output=True, text=True
+    )
+    cpp_ips = float(json.loads(out.stdout)["iters_per_s"])
+
+    # Same data model as the C++ baseline: shared ground truth, per-problem
+    # random poses, 0.5 px image noise, start at truth + (1mm, 0.02 rad,
+    # 0.005) perturbation.
+    m_x, m_y = 0.143, 0.139
+    w3 = jnp.asarray([1.1, 0.4, -0.7])
+    t3 = jnp.asarray([20.0, -15.0, 40.0])
+    r3 = _euler_zyx_matrix(w3[0], w3[1], w3[2])
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    q = jax.random.uniform(k1, (b, n, 2)) * jnp.asarray([640.0, 480.0])
+    w2 = jax.random.uniform(k2, (b, n, 3), minval=0.0, maxval=jnp.pi)
+    r2 = jax.vmap(jax.vmap(lambda w: _euler_zyx_matrix(w[2], w[1], w[0])))(w2)
+    t2 = 200.0 * (jax.random.uniform(k3, (b, n, 3)) - 0.5)
+    img = q[..., 0:1] * (m_x * r3[:, 0]) + q[..., 1:2] * (m_y * r3[:, 1]) + t3
+    p = jnp.einsum("bnij,bnj->bni", r2, img) + t2
+    q = q + 0.5 * jax.random.normal(k4, q.shape)
+    x0 = jnp.concatenate([t3 + 1.0, w3 + 0.02, jnp.asarray([m_x, m_y]) + 0.005])
+    x0s = jnp.broadcast_to(x0, (b, 8))
+
+    config = LMConfig(max_iters=50, ftol=0.0, xtol=0.0, gtol=1e-6)
+    r2col0 = r2[..., :, 0]                       # R2 e1 per observation
+
+    reps = 8
+
+    @jax.jit
+    def sweep(shifts):
+        def body(carry, s):
+            # Shifting p by s * R2 e1 shifts the optimal t3_x by exactly s —
+            # per-rep outputs must track it (proof the timed work ran).
+            data = (Frame(r2, t2), q, p + s * r2col0)
+            h = jax.vmap(stats_lm.pointer_stats)(data)
+            res = jax.vmap(
+                lambda h_, x_: stats_lm.feature_lm(
+                    stats_lm.pointer_w, h_, x_, config
+                )
+            )(h, x0s)
+            return carry, (jnp.mean(res.x[:, 0]), jnp.max(res.iterations))
+        _, (t3x, its) = jax.lax.scan(body, 0, shifts)
+        return t3x, its
+
+    shifts = jnp.arange(1, reps + 1, dtype=jnp.float64) * 0.25
+    np.array(sweep(shifts)[0])                   # compile + sync
+    best, iters = None, 0
+    for trial in range(3):
+        scale = 2.0 + trial
+        t0 = time.perf_counter()
+        t3x, its = sweep(scale * shifts)
+        t3x, its = np.array(t3x), np.array(its)
+        elapsed = (time.perf_counter() - t0) / reps
+        drift = np.diff(t3x)
+        assert np.all(np.abs(drift - 0.25 * scale) < 1e-3), "bogus outputs"
+        if best is None or elapsed < best:
+            best, iters = elapsed, int(its.max())
+    rate = b * iters / best
+    print(
+        json.dumps(
+            {
+                "metric": "lm_pointer_iterations_per_s",
+                "value": round(rate, 1),
+                "unit": "LM iterations/s (batched problems x inner steps)",
+                "vs_baseline": round(rate / cpp_ips, 2),
             }
         )
     )
@@ -655,8 +772,8 @@ def main():
         "--metric",
         default="ransac",
         choices=[
-            "ransac", "lm", "pivot", "dense", "us", "pointer", "phantom",
-            "generic",
+            "ransac", "lm", "lm_pointer", "pivot", "dense", "us", "pointer",
+            "phantom", "generic",
         ],
     )
     parser.add_argument(
@@ -675,6 +792,9 @@ def main():
 
     if args.metric == "lm":
         bench_lm(args)
+        return
+    if args.metric == "lm_pointer":
+        bench_lm_pointer(args)
         return
     if args.metric == "pivot":
         bench_pivot(args)

@@ -61,36 +61,22 @@ class _State(NamedTuple):
     converged: jnp.ndarray
 
 
-def levenberg_marquardt(
-    residual_fn: Callable,
-    jac_fn: Callable,
+def lm_core(
+    normal_system: Callable,
+    cost_of: Callable,
     x0: jnp.ndarray,
-    data,
-    mask: Optional[jnp.ndarray] = None,
     config: LMConfig = LMConfig(),
 ) -> LMResult:
-    """Minimize ``0.5 * || mask * residual_fn(x, data) ||^2``."""
+    """The shared damped-LM loop.
+
+    ``normal_system(x) -> (jtj [p, p], g [p])`` with ``g = J^T r`` and
+    ``cost_of(x) -> 0.5 ||r||^2`` may compute from residuals
+    (:func:`levenberg_marquardt`) or from sufficient statistics
+    (:mod:`lsqrrecipes_tpu.linalg.stats_lm`) — the damping schedule,
+    accept rule and convergence tests are identical either way.
+    """
     dtype = x0.dtype
     eps_tiny = jnp.finfo(dtype).tiny
-
-    def masked_residual(x):
-        r = residual_fn(x, data)
-        if mask is not None:
-            r = r * mask.astype(r.dtype)
-        return r
-
-    def cost_of(x):
-        r = masked_residual(x)
-        return 0.5 * jnp.sum(r * r)
-
-    def normal_system(x):
-        r = masked_residual(x)
-        j = jac_fn(x, data)
-        if mask is not None:
-            j = j * mask.astype(j.dtype)[:, None]
-        jtj = j.T @ j
-        jtr = j.T @ r
-        return jtj, jtr
 
     def body(state: _State) -> _State:
         jtj, g = normal_system(state.x)
@@ -141,8 +127,21 @@ def levenberg_marquardt(
         converged = small_grad | small_step | small_decrease | lam_blown
         done = converged | (state.it + 1 >= config.max_iters)
 
-        return _State(x, cost, lam, nu, state.it + 1,
-                      done, state.converged | converged)
+        # Freeze finished lanes: under vmap the batched while_loop keeps
+        # executing until the SLOWEST lane converges — without the freeze,
+        # already-converged lanes would keep refining and diverge (at
+        # rounding level) from what the same problem produces solo.
+        frz = state.done
+
+        def pick(new, old):
+            return jnp.where(frz, old, new)
+
+        return _State(
+            pick(x, state.x), pick(cost, state.cost), pick(lam, state.lam),
+            pick(nu, state.nu),
+            state.it + jnp.where(frz, 0, 1).astype(state.it.dtype),
+            state.done | done, state.converged | (converged & ~frz),
+        )
 
     def cond(state: _State):
         return jnp.logical_not(state.done)
@@ -158,3 +157,35 @@ def levenberg_marquardt(
     )
     final = jax.lax.while_loop(cond, body, init)
     return LMResult(final.x, final.cost, final.it, final.converged)
+
+
+def levenberg_marquardt(
+    residual_fn: Callable,
+    jac_fn: Callable,
+    x0: jnp.ndarray,
+    data,
+    mask: Optional[jnp.ndarray] = None,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """Minimize ``0.5 * || mask * residual_fn(x, data) ||^2``."""
+
+    def masked_residual(x):
+        r = residual_fn(x, data)
+        if mask is not None:
+            r = r * mask.astype(r.dtype)
+        return r
+
+    def cost_of(x):
+        r = masked_residual(x)
+        return 0.5 * jnp.sum(r * r)
+
+    def normal_system(x):
+        r = masked_residual(x)
+        j = jac_fn(x, data)
+        if mask is not None:
+            j = j * mask.astype(j.dtype)[:, None]
+        jtj = j.T @ j
+        jtr = j.T @ r
+        return jtj, jtr
+
+    return lm_core(normal_system, cost_of, x0, config)

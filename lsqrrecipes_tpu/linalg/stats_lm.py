@@ -1,0 +1,195 @@
+"""Sufficient-statistics Levenberg-Marquardt for feature-affine residuals.
+
+The reference's heaviest LM use is the ultrasound-calibration refits
+(``SinglePointTargetUSCalibrationParametersEstimator.cxx:272-297,916-973``,
+``PlanePhantomUSCalibrationParametersEstimator.cxx:357-447``): per LM
+iteration, vnl_levenberg_marquardt re-evaluates residuals and an analytic
+Jacobian over ALL n observations — O(n) work per iteration, every iteration.
+
+This module exploits a structural fact of those objectives: after rotating
+each residual by the (orthogonal, norm-preserving) tracker rotation R2_i,
+every per-observation residual is LINEAR in a fixed per-observation feature
+vector ``h_i`` with parameter-dependent coefficients:
+
+    r_i(x) = W(x) h_i          W: [R, F],  h_i: [F]
+
+Therefore the entire Gauss-Newton structure collapses onto ONE sufficient
+statistic, the (mask-weighted) feature Gram matrix ``H = sum_i m_i h_i
+h_i^T``:
+
+    cost(x)  = 0.5 tr(W H W^T)
+    g(x)     = J^T r = einsum(T, H, W)        T = dW/dx: [R, F, P]
+    J^T J(x) = einsum(T, H, T)
+
+so every LM iteration costs O(R F^2 P + P^2 F R) — INDEPENDENT of n.  The
+observations are touched exactly once (building H: one matmul, MXU-shaped),
+and thousands of independent problems vmap over lanes.  This replaces the
+reference's per-iteration Jacobian loops with precomputation + tiny dense
+algebra — the TPU-first redesign of SURVEY.md §2.7 "LM inner-step
+parallelism" (and it is exact: same normal equations in exact arithmetic,
+run through the identical damping loop ``linalg.lm.lm_core``).
+
+Feature maps (all cite the reference residual definitions):
+
+  * pointer (P=8): rho_i = R2_i^T r_i = A(x) z_i - y_i with z = (u, v, 1),
+    y = R2^T (p - t2), A = [m_x r1 | m_y r2 | t3]  (``...cxx:1059-1149``).
+    F=6: h = [z, y].
+  * crosswire (P=11): rho_i = A(x) z_i + R2^T t2 - R2^T t1; the t1 term is
+    linear in the 9 features vec(R2).  F=15: h = [z, R2^T t2, vec(R2)]
+    (``...cxx:415-509``).
+  * plane phantom (P=11): scalar r_i = n(x)^T (R2 A z + t2) + t1_z, linear
+    in F=31 features h = [R2 (x) z (27), t2 (3), 1] — exactly the
+    homogeneous 31-column system of the analytic fit
+    (``PlanePhantom...cxx:119-355`` / residual ``:357-447``).
+"""
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from lsqrrecipes_tpu.geometry import rotations
+from lsqrrecipes_tpu.linalg.lm import LMConfig, LMResult, lm_core
+
+
+def feature_lm(
+    w_fn: Callable,
+    h: jnp.ndarray,
+    x0: jnp.ndarray,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """Minimize ``0.5 sum_i ||W(x) h_i||^2`` given ``H = sum h_i h_i^T``.
+
+    ``w_fn(x) -> W [R, F]`` must be jit-traceable (its Jacobian is taken
+    with ``jax.jacfwd``).  Runs the identical damping loop as
+    :func:`lsqrrecipes_tpu.linalg.levenberg_marquardt`.
+    """
+
+    def cost_of(x):
+        w = w_fn(x)
+        return 0.5 * jnp.sum((w @ h) * w)
+
+    def normal_system(x):
+        w = w_fn(x)
+        t = jax.jacfwd(w_fn)(x)                    # [R, F, P]
+        g = jnp.einsum("rfp,rf->p", t, w @ h)
+        th = jnp.einsum("rfp,fe->rep", t, h)
+        jtj = jnp.einsum("rep,req->pq", th, t)
+        return jtj, g
+
+    return lm_core(normal_system, cost_of, x0, config)
+
+
+# ---------------------------------------------------------------------------
+# Objective adapters.  Parameter layouts match the residual functions in
+# estimators/us_calibration.py exactly, so minima are directly comparable.
+
+
+def _weights(n, mask, dtype):
+    if mask is None:
+        return jnp.ones((n,), dtype)
+    return mask.astype(dtype)
+
+
+def pointer_w(x):
+    """x = [t3(3), w_z, w_y, w_x, m_x, m_y] -> W [3, 6]."""
+    t3 = x[0:3]
+    r3 = rotations.matrix_from_euler_zyx(x[5], x[4], x[3])
+    a = jnp.stack([x[6] * r3[:, 0], x[7] * r3[:, 1], t3], axis=1)
+    return jnp.concatenate([a, -jnp.eye(3, dtype=x.dtype)], axis=1)
+
+
+def pointer_stats(data, mask=None):
+    """H [6, 6] for the pointer objective; h = [u, v, 1, R2^T(p - t2)]."""
+    frames, q, p = data
+    y = jnp.einsum("nji,nj->ni", frames.r, p - frames.t)
+    ones = jnp.ones_like(q[:, :1])
+    h = jnp.concatenate([q, ones, y], axis=1)
+    w = _weights(h.shape[0], mask, h.dtype)
+    return jnp.einsum("ni,nj,n->ij", h, h, w)
+
+
+def crosswire_w(x):
+    """x = [t1(3), t3(3), w_z, w_y, w_x, m_x, m_y] -> W [3, 15]."""
+    t1, t3 = x[0:3], x[3:6]
+    r3 = rotations.matrix_from_euler_zyx(x[8], x[7], x[6])
+    a = jnp.stack([x[9] * r3[:, 0], x[10] * r3[:, 1], t3], axis=1)
+    eye = jnp.eye(3, dtype=x.dtype)
+    t1_block = -jnp.kron(t1[None, :], eye)       # [3, 9]: [b, 3a+b] = -t1_a
+    return jnp.concatenate([a, eye, t1_block], axis=1)
+
+
+def crosswire_stats(data, mask=None):
+    """H [15, 15]; h = [u, v, 1, R2^T t2, vec(R2) row-major]."""
+    frames, q = data
+    n = q.shape[0]
+    y = jnp.einsum("nji,nj->ni", frames.r, frames.t)
+    ones = jnp.ones_like(q[:, :1])
+    h = jnp.concatenate([q, ones, y, frames.r.reshape(n, 9)], axis=1)
+    w = _weights(n, mask, h.dtype)
+    return jnp.einsum("ni,nj,n->ij", h, h, w)
+
+
+def phantom_w(x):
+    """x = [w1_y, w1_x, t1_z, t3(3), w3_z, w3_y, w3_x, m_x, m_y] -> W [1, 31]."""
+    cy1, sy1 = jnp.cos(x[0]), jnp.sin(x[0])
+    cx1, sx1 = jnp.cos(x[1]), jnp.sin(x[1])
+    nrm = jnp.stack([-sy1, cy1 * sx1, cy1 * cx1])
+    t3 = x[3:6]
+    r3 = rotations.matrix_from_euler_zyx(x[8], x[7], x[6])
+    a = jnp.stack([x[9] * r3[:, 0], x[10] * r3[:, 1], t3], axis=1)
+    na = jnp.einsum("a,bc->abc", nrm, a).reshape(-1)     # (a*3+b)*3+c
+    return jnp.concatenate([na, nrm, x[2:3]])[None, :]
+
+
+def phantom_stats(data, mask=None):
+    """H [31, 31]; h = [R2[a,b] z_c (27, (a*3+b)*3+c), t2 (3), 1]."""
+    frames, q = data
+    n = q.shape[0]
+    ones = jnp.ones_like(q[:, :1])
+    z = jnp.concatenate([q, ones], axis=1)               # [n, 3]
+    rz = jnp.einsum("nab,nc->nabc", frames.r, z).reshape(n, 27)
+    h = jnp.concatenate([rz, frames.t, ones], axis=1)
+    w = _weights(n, mask, h.dtype)
+    return jnp.einsum("ni,nj,n->ij", h, h, w)
+
+
+_OBJECTIVES = {
+    "pointer": (pointer_w, pointer_stats),
+    "crosswire": (crosswire_w, crosswire_stats),
+    "plane_phantom": (phantom_w, phantom_stats),
+}
+
+
+def us_feature_lm(
+    kind: str,
+    data,
+    x0: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """One US-calibration LM refit from sufficient statistics."""
+    w_fn, stats_fn = _OBJECTIVES[kind]
+    return feature_lm(w_fn, stats_fn(data, mask), x0, config)
+
+
+def us_feature_lm_batched(
+    kind: str,
+    data,
+    x0: jnp.ndarray,
+    masks: Optional[jnp.ndarray] = None,
+    config: LMConfig = LMConfig(),
+) -> LMResult:
+    """B independent refits on SHARED data with per-problem masks/inits.
+
+    ``x0 [B, P]``, ``masks [B, n]`` (None = all inliers for every problem).
+    The per-problem Gram matrices are one einsum over the shared feature
+    matrix; the LM loop vmaps over lanes with zero per-iteration O(n) work.
+    """
+    w_fn, stats_fn = _OBJECTIVES[kind]
+    if masks is None:
+        h = stats_fn(data)
+        hb = jnp.broadcast_to(h, (x0.shape[0],) + h.shape)
+    else:
+        hb = jax.vmap(lambda m: stats_fn(data, m))(masks)
+    return jax.vmap(lambda h_, x_: feature_lm(w_fn, h_, x_, config))(hb, x0)

@@ -23,8 +23,8 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "docs", "BENCH_ALL.json")
 
-METRICS = ["ransac", "generic", "lm", "pivot", "dense", "us", "pointer",
-           "phantom"]
+METRICS = ["ransac", "generic", "lm", "lm_pointer", "pivot", "dense", "us",
+           "pointer", "phantom"]
 
 
 def run_metric(metric):

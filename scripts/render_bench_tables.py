@@ -13,6 +13,8 @@ LABELS = {
     "ransac": ("3D sphere RANSAC (fused whole-sweep kernel)", "hyp/s"),
     "generic": ("3D sphere RANSAC, faithful-f64 generic engine", "hyp/s"),
     "lm": ("batched Levenberg-Marquardt (fused megakernel)", "iter/s"),
+    "lm_pointer": ("pointer-calibration LM (sufficient-statistics form)",
+                   "iter/s"),
     "pivot": ("pivot-calibration RANSAC (fused family)", "hyp/s"),
     "dense": ("dense 6-unknown linear RANSAC (fused family)", "hyp/s"),
     "us": ("crosswire US-calibration RANSAC (fused family)", "hyp/s"),
