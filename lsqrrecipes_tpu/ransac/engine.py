@@ -288,6 +288,28 @@ def ransac_batched(
     return fleet(data, keys)
 
 
+def _round_fast(est, data, key, groups):
+    """One adaptive round through the fast paths: the fused Pallas sweep
+    when the estimator declares a supported ``fused_family``, otherwise the
+    structured (gather-free) hypothesize+vote.  Returns the same
+    ``(count, mask[n], params)`` contract as :func:`hypothesize_and_vote`;
+    the fused count is recomputed exactly from the winner's agree mask
+    (the in-kernel band vote is selection-only, see
+    :func:`ransac_fused_sweep`)."""
+    from lsqrrecipes_tpu.ops import fused_sweep as fs
+
+    family = getattr(est, "fused_family", None)
+    if family and fs.supports_data(family, data):
+        delta_arg = getattr(est, "fused_delta", None) or est.delta
+        _, params = fs.fused_sweep(family, data, key, groups, delta_arg)
+        params = jnp.asarray(
+            params, jax.tree_util.tree_leaves(data)[0].dtype
+        )
+        mask = est.agree(params, data)
+        return jnp.sum(mask), mask, params
+    return hypothesize_and_vote_structured(est, data, key, groups)
+
+
 def ransac_adaptive(
     est,
     data,
@@ -295,6 +317,7 @@ def ransac_adaptive(
     desired_probability: float = 0.999,
     batch_size: int = 1024,
     max_hypotheses: int = 1 << 20,
+    path: str = "auto",
 ) -> RansacResult:
     """Adaptive-budget RANSAC: device-sized rounds, host-side budget update.
 
@@ -302,12 +325,24 @@ def ransac_adaptive(
     each round the iteration budget is recomputed from the best inlier
     fraction seen so far; rounds stop once the number of evaluated
     hypotheses covers the budget (or all C(n, k) subsets).
+
+    ``path``: ``"auto"`` (default) runs each device round through the fast
+    paths — the whole-round fused Pallas sweep where the estimator has one,
+    else the gather-free structured sweep — so adaptive mode keeps the
+    fixed-budget mode's per-round throughput; ``"gather"`` forces the
+    faithful ``[B, k]``-gather rounds (the parity path).
     """
     n = _data_size(data)
     if n < est.k:
         return _invalid_result(est, n)
     if not (0.0 < desired_probability < 1.0):
         return _invalid_result(est, n)
+
+    use_fast = path != "gather" and (
+        hasattr(est, "structured_sweep")
+        or hasattr(est, "fit_and_vote")
+        or getattr(est, "fused_family", None)
+    )
 
     all_tries = min(choose(n, est.k), max_hypotheses)
     budget = all_tries
@@ -318,13 +353,18 @@ def ransac_adaptive(
 
     while evaluated < budget:
         key, sub = jax.random.split(key)
-        b = min(batch_size, budget - evaluated)
-        # "auto" switches to O(b*k)-memory with-replacement sampling at
-        # large b*n (duplicate rows self-mask as degenerate), same as the
-        # fixed-budget driver.
-        idx = _sample(sub, n, est.k, b, "auto")
-        count, mask, params = hypothesize_and_vote(est, data, idx)
-        evaluated += b
+        if use_fast:
+            groups = max(1, min(-(-batch_size // n), -(-(budget - evaluated) // n)))
+            count, mask, params = _round_fast(est, data, sub, groups)
+            evaluated += groups * n
+        else:
+            b = min(batch_size, budget - evaluated)
+            # "auto" switches to O(b*k)-memory with-replacement sampling at
+            # large b*n (duplicate rows self-mask as degenerate), same as
+            # the fixed-budget driver.
+            idx = _sample(sub, n, est.k, b, "auto")
+            count, mask, params = hypothesize_and_vote(est, data, idx)
+            evaluated += b
         if int(count) > best_count:
             best_count, best_mask, best_params = int(count), mask, params
             if best_count == n:

@@ -280,3 +280,39 @@ def test_ransac_batched_fleet_matches_per_dataset():
         np.testing.assert_allclose(
             fleet.params[i], single.params, rtol=1e-9, atol=1e-9
         )
+
+
+def test_ransac_adaptive_fast_paths_agree_with_gather():
+    """The adaptive driver's fast rounds (fused sweep for line2d; structured
+    sweep for crosswire) find the same structure as the faithful gather
+    rounds — and the fast path is the default (``path="auto"``)."""
+    normal, anchor, pts = make_outlier_line(jax.random.PRNGKey(14))
+    est = Line2DEstimator(delta=1.5)
+    fast = ransac_adaptive(est, pts, jax.random.PRNGKey(15), batch_size=512)
+    slow = ransac_adaptive(
+        est, pts, jax.random.PRNGKey(15), batch_size=512, path="gather"
+    )
+    for res in (fast, slow):
+        assert bool(res.valid)
+        assert abs(float(jnp.dot(res.params[:2], normal))) > COS5
+    # Both consensus sets capture the inlier structure.
+    assert float(fast.inlier_fraction) > 0.6
+    assert float(slow.inlier_fraction) > 0.6
+
+
+def test_ransac_adaptive_structured_sweep_estimator():
+    """Adaptive rounds route through ``structured_sweep`` for the
+    US-calibration estimators (no fused family, own planar path)."""
+    from lsqrrecipes_tpu.estimators import CrosswireUSCalibrationEstimator
+    from lsqrrecipes_tpu.geometry import Frame
+    from lsqrrecipes_tpu.synthetic import make_crosswire_data
+
+    (frames, q), _, true = make_crosswire_data(jax.random.PRNGKey(16), n=40)
+    # 20% corrupted poses
+    t = frames.t.at[-8:].add(60.0)
+    est = CrosswireUSCalibrationEstimator(delta=3.0)
+    res = ransac_adaptive(
+        est, (Frame(frames.r, t), q), jax.random.PRNGKey(17), batch_size=160
+    )
+    assert bool(res.valid)
+    assert float(res.inlier_fraction) > 0.6
