@@ -207,16 +207,17 @@ def _make_lm_kernel(m: int, max_iters: int, init_lambda: float,
 @functools.partial(
     jax.jit,
     static_argnames=("m", "max_iters", "init_lambda", "max_lambda", "gtol",
-                     "block_b"),
+                     "block_b", "interpret"),
 )
 def _lm_call(pts_planar, x0_t, m, max_iters, init_lambda, max_lambda, gtol,
-             block_b):
+             block_b, interpret=False):
     with jax.enable_x64(False):
         b = pts_planar.shape[1]
         kernel = _make_lm_kernel(m, max_iters, init_lambda, max_lambda, gtol)
         return pl.pallas_call(
             kernel,
             grid=(b // block_b,),
+            interpret=interpret,
             in_specs=[
                 pl.BlockSpec((3 * m, block_b), lambda i: (0, i),
                              memory_space=pltpu.VMEM),
@@ -250,6 +251,7 @@ def sphere_lm_batch(
     max_lambda: float = 1e12,
     gtol: float = 1e-6,
     block_b: int = 512,
+    interpret=None,
 ):
     """Fused LM refinement of B independent spheres.
 
@@ -257,13 +259,18 @@ def sphere_lm_batch(
     iterations[B], converged[B])``; all lanes run ``max_iters`` fixed steps
     (converged lanes freeze).  f32 throughput path — the f64
     :func:`lsqrrecipes_tpu.linalg.levenberg_marquardt` remains the parity
-    path.
+    path.  ``interpret=None`` auto-selects Pallas interpret mode when the
+    default device is the host CPU (same rule as ``ops.fused_sweep``).
     """
     bsz = points.shape[0]
     assert bsz % block_b == 0 and block_b % 128 == 0
+    if interpret is None:
+        from lsqrrecipes_tpu.ops.fused_sweep import _auto_interpret
+
+        interpret = _auto_interpret()
     planar, x0_t = pack_lm_problems(points, x0)
     out = _lm_call(
         planar, x0_t, points.shape[1], int(max_iters), float(init_lambda),
-        float(max_lambda), float(gtol), int(block_b),
+        float(max_lambda), float(gtol), int(block_b), bool(interpret),
     )
     return out[0:4, :].T, out[4], out[5].astype(jnp.int32), out[6] > 0

@@ -465,12 +465,118 @@ def check_fleet(groups=4):
     return ok
 
 
+def check_lm_sphere(b=512, m=128):
+    """Fused LM megakernel (``ops/sphere_lm.py``) on the real chip vs the
+    f64 ``linalg/lm.py`` minima on CPU.  Interpret-mode parity
+    (tests/test_sphere_lm.py) does not cover Mosaic layouts or the
+    fori/while carries' lane layouts — this does."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators.sphere import (
+        _sphere_jacobian,
+        _sphere_residual,
+    )
+    from lsqrrecipes_tpu.linalg import LMConfig, levenberg_marquardt
+    from lsqrrecipes_tpu.ops.sphere_lm import sphere_lm_batch
+
+    key = jax.random.PRNGKey(21)
+    k1, k2, k3 = jax.random.split(key, 3)
+    centers = jax.random.uniform(k1, (b, 3), jnp.float32, -50, 50)
+    d = jax.random.normal(k2, (b, m, 3), jnp.float32)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    pts = centers[:, None, :] + 25.0 * d
+    pts = pts + 0.3 * jax.random.normal(k3, (b, m, 3), jnp.float32)
+    x0 = jnp.concatenate(
+        [centers + 1.0, jnp.full((b, 1), 23.0, jnp.float32)], axis=1
+    )
+
+    # Chip: the fused megakernel.
+    x_chip, cost, iters, conv = sphere_lm_batch(
+        pts, x0, max_iters=30, gtol=1e-6
+    )
+    x_chip = np.asarray(jax.device_get(x_chip))
+    conv = np.asarray(jax.device_get(conv))
+
+    # CPU: f64 reference LM on the same problems.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pts64 = jnp.asarray(jax.device_get(pts), jnp.float64)
+        x064 = jnp.asarray(jax.device_get(x0), jnp.float64)
+        config = LMConfig(max_iters=60, ftol=0.0, xtol=0.0, gtol=1e-9)
+        res = jax.vmap(
+            lambda x, p: levenberg_marquardt(
+                _sphere_residual, _sphere_jacobian, x, p, config=config
+            )
+        )(x064, pts64)
+        x_ref = np.asarray(jax.device_get(res.x))
+
+    dmax = np.abs(x_chip - x_ref).max()
+    ok = bool(conv.all()) and dmax < 5e-3
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} lm_sphere: max|dx|={dmax:.2e} converged={conv.mean():.3f} "
+        f"(B={b}, m={m}, f32 kernel vs f64 reference)",
+        flush=True,
+    )
+    return ok
+
+
+def check_lm_stats(b=64, n=64):
+    """Sufficient-statistics LM (``linalg/stats_lm.py``) on the real chip vs
+    the same solver on CPU — f64 einsums and the while_loop all run through
+    the chip's emulated-f64 path here."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.linalg import LMConfig
+    from lsqrrecipes_tpu.linalg import stats_lm
+    from lsqrrecipes_tpu.synthetic import make_pointer_data
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        PointerUSCalibrationEstimator,
+    )
+
+    (frames, q, p), _, true = make_pointer_data(jax.random.PRNGKey(9), n=n)
+    data = (frames, q, p)
+    est = PointerUSCalibrationEstimator(delta=3.0)
+    masks = jnp.stack(
+        [jnp.arange(n) % max(2, i % 7) != 0 for i in range(b)]
+    ) | (jnp.arange(n)[None, :] < est.k)
+    config = LMConfig(max_iters=50, ftol=0.0, xtol=0.0, gtol=1e-9)
+
+    params_chip, valid_chip = est.lsq_fit_stats_batched(data, masks)
+    params_chip = np.asarray(jax.device_get(params_chip))
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        data_cpu = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(jax.device_get(a)), data
+        )
+        params_cpu, valid_cpu = est.lsq_fit_stats_batched(
+            data_cpu, jnp.asarray(jax.device_get(masks))
+        )
+        params_cpu = np.asarray(jax.device_get(params_cpu))
+
+    dmax = np.abs(params_chip - params_cpu).max()
+    ok = (
+        bool(np.asarray(jax.device_get(valid_chip)).all())
+        and bool(np.asarray(jax.device_get(valid_cpu)).all())
+        and dmax < 1e-6
+    )
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} lm_stats_pointer: max|dparam|={dmax:.2e} "
+        f"(B={b}, n={n}, chip f64 vs cpu f64)",
+        flush=True,
+    )
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--families",
         nargs="*",
-        default=sorted(FAMILIES) + list(US_FAST) + ["fleet_sphere"],
+        default=sorted(FAMILIES) + list(US_FAST)
+        + ["fleet_sphere", "lm_sphere", "lm_stats_pointer"],
     )
     ap.add_argument("--groups", type=int, default=6)
     args = ap.parse_args()
@@ -481,6 +587,10 @@ def main():
         try:
             if name == "fleet_sphere":
                 checker = lambda n: check_fleet()  # noqa: E731
+            elif name == "lm_sphere":
+                checker = lambda n: check_lm_sphere()  # noqa: E731
+            elif name == "lm_stats_pointer":
+                checker = lambda n: check_lm_stats()  # noqa: E731
             elif name in US_FAST:
                 checker = lambda n: check_us_fast(n)  # noqa: E731
             else:
