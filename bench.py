@@ -486,8 +486,16 @@ def bench_phantom(args):
 
 
 def bench_generic(args):
-    """The f64 parity engine (``ransac``'s hypothesize_and_vote path) on the
-    sphere workload — the faithful-semantics path, not the f32 redesigns.
+    """The f64 parity engine on the sphere workload — faithful reference
+    semantics (f64 Cramer fits, SPHERE_EPS gates, exact agree votes), not
+    the f32 redesigns.
+
+    ``--path fused_sweep`` (default): the planar structured driver
+    (``ops/planar_points.sphere3d_planar_sweep``) — same f64 semantics,
+    counts bit-equal to the engine path (``tests/test_ops.py``), but lanes
+    layout instead of the (8,128)-padded ``[B, k, d]`` samples and rolls
+    instead of gathers.  ``--path scan``: the original gather-based
+    ``hypothesize_and_vote`` rounds.
 
     Same C++ denominator as the headline metric (serial circumsphere RANSAC
     with early-exit votes)."""
@@ -496,6 +504,7 @@ def bench_generic(args):
     import numpy as np
 
     from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+    from lsqrrecipes_tpu.ops.planar_points import sphere3d_planar_sweep
     from lsqrrecipes_tpu.ransac.engine import hypothesize_and_vote
     from lsqrrecipes_tpu.ransac.sampling import sample_k_with_replacement
 
@@ -521,16 +530,34 @@ def bench_generic(args):
     steps = max(1, args.hypotheses // batch // 4)
     reps = 4
 
-    @jax.jit
-    def sweeps(seed0):
-        def body(carry, i):
-            k = jax.random.fold_in(jax.random.PRNGKey(23), seed0 + i)
-            idx = sample_k_with_replacement(k, n, est.k, batch)
-            count, _mask, _params = hypothesize_and_vote(est, pts, idx)
-            return carry, count
+    if args.path == "fused_sweep":
+        groups = batch // n
 
-        _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
-        return counts
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                k = jax.random.fold_in(jax.random.PRNGKey(23), seed0 + i)
+                counts, _params = sphere3d_planar_sweep(
+                    pts, k, groups, est.delta
+                )
+                return carry, jnp.max(counts)
+
+            _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
+            return counts
+
+        batch = groups * n
+    else:
+
+        @jax.jit
+        def sweeps(seed0):
+            def body(carry, i):
+                k = jax.random.fold_in(jax.random.PRNGKey(23), seed0 + i)
+                idx = sample_k_with_replacement(k, n, est.k, batch)
+                count, _mask, _params = hypothesize_and_vote(est, pts, idx)
+                return carry, count
+
+            _, counts = jax.lax.scan(body, 0, jnp.arange(reps * steps))
+            return counts
 
     np.array(sweeps(0))
     elapsed = None

@@ -99,3 +99,55 @@ def test_pallas_vote_kernels_interpret():
         np.testing.assert_array_equal(counts2, ref2)
     finally:
         pl.pallas_call = orig
+
+
+def test_sphere_planar_sweep_matches_engine_f64():
+    """The planar f64 structured sweep evaluates the IDENTICAL hypothesis
+    set as structured_samples and reproduces the engine's exact f64 counts
+    and Cramer fits (the generic engine's throughput driver)."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+    from lsqrrecipes_tpu.ops.planar_points import (
+        planar_samples_reference,
+        sphere3d_planar_sweep,
+    )
+    from lsqrrecipes_tpu.ransac.sampling import structured_samples
+
+    key = jax.random.PRNGKey(31)
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = jax.random.normal(k1, (80, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    pts = jnp.asarray([5.0, -2.0, 11.0]) + 25.0 * d
+    pts = pts + 0.3 * jax.random.normal(k2, pts.shape)
+    pts = jnp.concatenate(
+        [pts, jax.random.uniform(k3, (20, 3), minval=-40.0, maxval=40.0)]
+    )
+    assert pts.dtype == jnp.float64
+
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+    groups = 3
+    skey = jax.random.PRNGKey(5)
+
+    counts, params = sphere3d_planar_sweep(pts, skey, groups, est.delta)
+
+    # Same hypothesis set as the engine's structured sampler.
+    samples_engine = structured_samples(skey, pts, 4, groups)
+    samples_planar = planar_samples_reference(pts, skey, groups)
+    np.testing.assert_allclose(np.asarray(samples_planar),
+                               np.asarray(samples_engine), rtol=0, atol=0)
+
+    # Same fits and votes as the estimator's own f64 path.
+    p_ref, v_ref = jax.vmap(est.minimal_fit)(samples_engine)
+    c_ref = jax.vmap(lambda p: jnp.sum(est.agree(p, pts)))(p_ref)
+    c_ref = jnp.where(v_ref, c_ref, -1)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(c_ref))
+    keep = np.asarray(v_ref)
+    np.testing.assert_allclose(np.asarray(params)[keep],
+                               np.asarray(p_ref)[keep], rtol=1e-9, atol=1e-9)
+
+    # Chunked vote path agrees too.
+    counts_c, _ = sphere3d_planar_sweep(
+        pts, skey, groups, est.delta, chunk=100
+    )
+    np.testing.assert_array_equal(np.asarray(counts_c), np.asarray(counts))
