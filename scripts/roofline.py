@@ -1,0 +1,169 @@
+"""Empirical roofline / utilization for the fused families (real chip).
+
+Converts the bench matrix's vs-C++ ratios into absolute hardware-utilization
+statements (VERDICT r3 item 3).  Two empirical peaks are measured on THIS
+chip through the tunnel (no spec-sheet numbers):
+
+  * MXU peak: sustained bf16 matmul FLOP/s at K=2048 (dense, square);
+  * VPU peak: sustained f32 FMA FLOP/s on an (8,128)-tiled elementwise
+    chain (the shape all fit/epilogue arithmetic lowers to).
+
+Then, for each fused family, the measured hypotheses/s (docs/BENCH_ALL.json
+or a fresh --measure run) is converted to achieved FLOP/s with an analytic
+flop model of the kernel:
+
+  * vote (MXU): the affine band test is a ``[K_f, n] x [K_f, B]``
+    contraction — 2 * K_f * passes flops per (point, hypothesis) of USEFUL
+    work, but the MXU always runs a 128-deep contraction, so the hardware
+    executes 2 * 128 * passes ("padded" flops).  passes = 1 for the
+    DEFAULT-precision families (sphere/plane/line), 3 for the bf16-split
+    f32x3 families (pivot/dense/crosswire/pointer/absor/ray).
+  * fit (VPU): closed-form lane arithmetic per hypothesis.
+
+The padded-utilization column is the honest "how much of the systolic
+array is busy" number; useful/padded = K_f/128 is the intrinsic headroom
+bound of the band-vote design (feature count, not a tunable).
+
+Usage:  nohup python scripts/roofline.py > /tmp/roofline.log 2>&1 &
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# metric -> (label, K_f band rows per dot, dots per point, bf16 passes per
+# dot, n observations, fit flops/hyp [VPU]).  Read off the fit_vote
+# closures in ops/fused_sweep.py: sphere votes ONE DEFAULT-precision dot
+# (1 bf16 pass); the tracker-magnitude families vote 1-3 dots through the
+# 3-pass bf16-split product (_dot_f32x3).
+FAMILIES = {
+    "ransac": ("sphere3d fused sweep", 5, 1, 1, 1024, 90),
+    "pivot": ("pivot fused family", 17, 3, 3, 1024, 260),
+    "dense": ("dense6 fused family", 9, 1, 3, 1024, 700),
+    "us": ("crosswire fused family", 16, 3, 3, 1024, 2200),
+    "pointer": ("pointer fused family", 7, 3, 3, 1024, 1500),
+}
+
+# LM entries: (description, flops per reported iteration) — VPU-bound.
+LM = {
+    "lm": ("sphere LM megakernel (m=256)", 256 * 46 + 140),
+    "lm_pointer": ("pointer stats-LM (f64)", 3 * 36 * 8 * 2 + 8 * 8 * 6 * 3 * 2
+                   + 8 * 8 * 8 // 3 + 400),
+}
+
+
+def measure_mxu_peak(k=2048, reps=16):
+    a = jnp.ones((k, k), jnp.bfloat16)
+    b = jnp.ones((k, k), jnp.bfloat16)
+
+    @jax.jit
+    def run(scale):
+        def body(c, s):
+            c = (a * s) @ b + c * jnp.bfloat16(0.0)
+            return c, c[0, 0]
+        _, outs = jax.lax.scan(
+            body, jnp.zeros((k, k), jnp.bfloat16),
+            scale + jnp.arange(reps, dtype=jnp.bfloat16),
+        )
+        return outs
+
+    np.array(run(jnp.bfloat16(1.0)))
+    best = None
+    for t in range(3):
+        t0 = time.perf_counter()
+        outs = np.array(run(jnp.bfloat16(2.0 + t)))
+        dt = (time.perf_counter() - t0) / reps
+        assert np.all(np.isfinite(outs.astype(np.float64)))
+        best = dt if best is None else min(best, dt)
+    return 2.0 * k ** 3 / best
+
+
+def measure_vpu_peak(rows=512, cols=8192, chain=64, reps=8):
+    x = jnp.ones((rows, cols), jnp.float32)
+
+    @jax.jit
+    def run(scale):
+        def body(c, s):
+            y = x * s
+            for _ in range(chain):
+                y = y * jnp.float32(1.0000001) + jnp.float32(1e-7)
+            return c, jnp.sum(y[::64, ::512])
+        _, outs = jax.lax.scan(body, 0.0, scale + jnp.arange(reps, dtype=jnp.float32))
+        return outs
+
+    np.array(run(jnp.float32(1.0)))
+    best = None
+    for t in range(3):
+        t0 = time.perf_counter()
+        outs = np.array(run(jnp.float32(2.0 + t)))
+        dt = (time.perf_counter() - t0) / reps
+        assert np.all(np.isfinite(outs))
+        best = dt if best is None else min(best, dt)
+    return 2.0 * chain * rows * cols / best
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    mxu = measure_mxu_peak()
+    vpu = measure_vpu_peak()
+    print(f"\nempirical peaks (this chip, through the tunnel):")
+    print(f"  MXU bf16 matmul : {mxu / 1e12:8.1f} TFLOP/s")
+    print(f"  VPU f32 FMA     : {vpu / 1e12:8.2f} TFLOP/s\n", flush=True)
+
+    with open(os.path.join(REPO, "docs", "BENCH_ALL.json")) as f:
+        bench = json.load(f)["results"]
+
+    print("| family | rate | useful MXU | padded MXU | %MXU peak (padded) |"
+          " fit VPU | %VPU | binding |")
+    print("|---|---|---|---|---|---|---|---|")
+    for key, (label, kf, dots, passes, n, fit_flops) in FAMILIES.items():
+        res = bench.get(key)
+        if not res or "error" in res:
+            print(f"| {label} | MISSING | | | | | | |")
+            continue
+        rate = res["value"]
+        useful = rate * 2.0 * kf * dots * passes * n
+        padded = rate * 2.0 * 128 * dots * passes * n
+        fit = rate * fit_flops
+        pct_mxu = 100.0 * padded / mxu
+        pct_vpu = 100.0 * fit / vpu
+        binding = "MXU issue (K=%d/128 pad)" % kf if pct_mxu > 2 * pct_vpu \
+            else "VPU fit arithmetic"
+        print(
+            f"| {label} | {rate / 1e6:.1f}M hyp/s | {useful / 1e12:.2f} T |"
+            f" {padded / 1e12:.1f} T | {pct_mxu:.0f}% | {fit / 1e9:.1f} G |"
+            f" {pct_vpu:.1f}% | {binding} |",
+            flush=True,
+        )
+    for key, (label, it_flops) in LM.items():
+        res = bench.get(key)
+        if not res or "error" in res:
+            print(f"| {label} | MISSING | | | | | | |")
+            continue
+        rate = res["value"]
+        fl = rate * it_flops
+        print(
+            f"| {label} | {rate / 1e6:.1f}M iter/s | — | — | — |"
+            f" {fl / 1e9:.1f} G | {100.0 * fl / vpu:.1f}% | VPU lane arithmetic |",
+            flush=True,
+        )
+    print(
+        "\nuseful/padded = K_f/128: the band-vote design feeds a 128-deep\n"
+        "systolic contraction with K_f feature rows; the padded column is\n"
+        "what the hardware executes and is the number to compare against\n"
+        "the MXU peak.",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
