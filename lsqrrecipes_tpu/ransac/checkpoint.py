@@ -23,6 +23,44 @@ class SweepState(NamedTuple):
     best_params: jnp.ndarray    # winning minimal-fit parameters
 
 
+def distributed_process_index() -> int:
+    """The process's rank in the ACTIVE distributed cluster.
+
+    ``jax.process_index()`` consults the default backend; under a
+    single-process device plugin (e.g. the axon TPU tunnel) it reports 0 on
+    EVERY process even while a ``jax.distributed`` CPU/Gloo cluster is
+    active — which silently broke the single-writer convention (both
+    processes wrote the checkpoint, races ensued).  The distributed
+    runtime's own process id is authoritative when a cluster was joined.
+    """
+    try:
+        from jax._src import distributed
+
+        state = distributed.global_state
+        if state.client is not None and state.process_id is not None:
+            return int(state.process_id)
+    except (ImportError, AttributeError):
+        pass
+    return jax.process_index()
+
+
+def distributed_barrier(name: str, timeout_ms: int = 120_000) -> None:
+    """A REAL cross-process barrier via the coordination service.
+
+    ``multihost_utils.sync_global_devices`` runs a collective on the
+    default backend's devices — a no-op under single-process plugins (see
+    :func:`distributed_process_index`).  No cluster -> no-op.
+    """
+    try:
+        from jax._src import distributed
+
+        client = distributed.global_state.client
+    except (ImportError, AttributeError):
+        client = None
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
+
 def new_state(key, n, nparams):
     return SweepState(
         key=key,
@@ -84,8 +122,9 @@ def resumable_sweep(
     # Multi-host runs: every process executes the same deterministic sweep
     # (same key stream), but only process 0 writes the checkpoint; all
     # processes read it on resume (shared-filesystem convention, matching
-    # orbax's single-writer default).
-    writer = jax.process_index() == 0
+    # orbax's single-writer default).  Rank comes from the distributed
+    # runtime, NOT jax.process_index() — see distributed_process_index.
+    writer = distributed_process_index() == 0
 
     n = _data_size(data)
     state = load_state(checkpoint_path) if checkpoint_path else None

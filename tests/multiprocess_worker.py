@@ -90,9 +90,18 @@ def main():
     if len(sys.argv) > 3:
         import os
 
-        from jax.experimental import multihost_utils
+        from lsqrrecipes_tpu.ransac.checkpoint import (
+            distributed_barrier,
+            distributed_process_index,
+            load_state,
+            resumable_sweep,
+        )
 
-        from lsqrrecipes_tpu.ransac.checkpoint import load_state, resumable_sweep
+        # Under the axon plugin jax.process_index() lies (always 0) and
+        # multihost_utils.sync_global_devices is a default-backend no-op —
+        # both must come from the distributed runtime (this is exactly the
+        # bug the round-3 flake exposed in checkpoint.py).
+        assert distributed_process_index() == pid
 
         ckpt = sys.argv[3]
         key = jax.random.PRNGKey(11)
@@ -111,9 +120,17 @@ def main():
             assert not os.path.exists(
                 f"{ckpt}.tmp.{os.getpid()}.npz"
             ), "non-writer wrote"
-        multihost_utils.sync_global_devices("ckpt-round1-written")
+        distributed_barrier("ckpt-round1-written")
         assert os.path.exists(ckpt), "process 0 checkpoint missing"
-        assert load_state(ckpt).evaluated == 256
+        _st = load_state(ckpt)
+        assert _st.evaluated == 256, (
+            f"pid={pid} evaluated={_st.evaluated} best={_st.best_count}"
+        )
+        # Both processes must finish READING the round-1 state before
+        # process 0's resume below starts overwriting it (evaluated grows
+        # to 512/768/1024) — without this barrier the read races the
+        # writer and the assert above flakes.
+        distributed_barrier("ckpt-round1-verified")
         resumed = resumable_sweep(
             est, pts, key, total_hypotheses=1024, batch_size=256,
             checkpoint_path=ckpt,
@@ -130,7 +147,7 @@ def main():
             np.asarray(resumed.best_params), np.asarray(full.best_params),
             rtol=0, atol=0,
         )
-        multihost_utils.sync_global_devices("ckpt-done")
+        distributed_barrier("ckpt-done")
 
     print(f"WORKER_OK pid={pid} count={count}", flush=True)
 
