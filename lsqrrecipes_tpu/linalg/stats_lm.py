@@ -154,11 +154,60 @@ def phantom_stats(data, mask=None):
     return jnp.einsum("ni,nj,n->ij", h, h, w)
 
 
+def pointer_features(data):
+    """Raw feature matrix ``h [n, 6]`` (constant column at index 2)."""
+    frames, q, p = data
+    y = jnp.einsum("nji,nj->ni", frames.r, p - frames.t)
+    ones = jnp.ones_like(q[:, :1])
+    return jnp.concatenate([q, ones, y], axis=1)
+
+
+def crosswire_features(data):
+    """``h [n, 15]`` (constant column at index 2)."""
+    frames, q = data
+    n = q.shape[0]
+    y = jnp.einsum("nji,nj->ni", frames.r, frames.t)
+    ones = jnp.ones_like(q[:, :1])
+    return jnp.concatenate([q, ones, y, frames.r.reshape(n, 9)], axis=1)
+
+
+def phantom_features(data):
+    """``h [n, 31]`` (constant column at index 30)."""
+    frames, q = data
+    n = q.shape[0]
+    ones = jnp.ones_like(q[:, :1])
+    z = jnp.concatenate([q, ones], axis=1)
+    rz = jnp.einsum("nab,nc->nabc", frames.r, z).reshape(n, 27)
+    return jnp.concatenate([rz, frames.t, ones], axis=1)
+
+
 _OBJECTIVES = {
-    "pointer": (pointer_w, pointer_stats),
-    "crosswire": (crosswire_w, crosswire_stats),
-    "plane_phantom": (phantom_w, phantom_stats),
+    "pointer": (pointer_w, pointer_stats, pointer_features, 2),
+    "crosswire": (crosswire_w, crosswire_stats, crosswire_features, 2),
+    "plane_phantom": (phantom_w, phantom_stats, phantom_features, 30),
 }
+
+
+def _centered_problem(w_fn, h, wts, const_idx):
+    """Exact feature centering against the constant column.
+
+    The raw Gram matrix mixes O(1e2-1e3)-scale features, so the stats cost
+    ``0.5 tr(W H W^T)`` cancels ~6-8 digits against the ~noise-scale cost —
+    enough that on-chip emulated-f64 jitter keeps vnl-tight tolerances
+    (1e-15) from ever tripping.  ``h'_j = h_j - m_j h_const`` with
+    ``W' = W S`` (``S = I + m e_const^T``) is an EXACT change of basis
+    (``W' h' == W h``) that shrinks the Gram scale to the data's variance.
+    """
+    m = (wts @ h) / jnp.maximum(jnp.sum(wts), 1.0)
+    m = m.at[const_idx].set(0.0)
+    hc = h - m[None, :] * h[:, const_idx:const_idx + 1]
+    gram = jnp.einsum("ni,nj,n->ij", hc, hc, wts)
+
+    def w_fn_c(x):
+        w = w_fn(x)
+        return w.at[:, const_idx].add(w @ m)
+
+    return w_fn_c, gram
 
 
 def us_feature_lm(
@@ -168,9 +217,12 @@ def us_feature_lm(
     mask: Optional[jnp.ndarray] = None,
     config: LMConfig = LMConfig(),
 ) -> LMResult:
-    """One US-calibration LM refit from sufficient statistics."""
-    w_fn, stats_fn = _OBJECTIVES[kind]
-    return feature_lm(w_fn, stats_fn(data, mask), x0, config)
+    """One US-calibration LM refit from (centered) sufficient statistics."""
+    w_fn, _, feats_fn, const_idx = _OBJECTIVES[kind]
+    h = feats_fn(data)
+    wts = _weights(h.shape[0], mask, h.dtype)
+    w_fn_c, gram = _centered_problem(w_fn, h, wts, const_idx)
+    return feature_lm(w_fn_c, gram, x0, config)
 
 
 def us_feature_lm_batched(
@@ -183,13 +235,18 @@ def us_feature_lm_batched(
     """B independent refits on SHARED data with per-problem masks/inits.
 
     ``x0 [B, P]``, ``masks [B, n]`` (None = all inliers for every problem).
-    The per-problem Gram matrices are one einsum over the shared feature
-    matrix; the LM loop vmaps over lanes with zero per-iteration O(n) work.
+    The per-problem (centered) Gram matrices are one einsum over the shared
+    feature matrix; the LM loop vmaps over lanes with zero per-iteration
+    O(n) work.
     """
-    w_fn, stats_fn = _OBJECTIVES[kind]
+    w_fn, _, feats_fn, const_idx = _OBJECTIVES[kind]
+    h = feats_fn(data)
+
+    def solve(mask_or_none, x_):
+        wts = _weights(h.shape[0], mask_or_none, h.dtype)
+        w_fn_c, gram = _centered_problem(w_fn, h, wts, const_idx)
+        return feature_lm(w_fn_c, gram, x_, config)
+
     if masks is None:
-        h = stats_fn(data)
-        hb = jnp.broadcast_to(h, (x0.shape[0],) + h.shape)
-    else:
-        hb = jax.vmap(lambda m: stats_fn(data, m))(masks)
-    return jax.vmap(lambda h_, x_: feature_lm(w_fn, h_, x_, config))(hb, x0)
+        return jax.vmap(lambda x_: solve(None, x_))(x0)
+    return jax.vmap(solve)(masks, x0)

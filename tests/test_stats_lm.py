@@ -83,7 +83,7 @@ def test_quadratics_match_full_jacobian(kind):
     """cost, g, JtJ from H equal the explicit residual/Jacobian forms."""
     data, _ = _make(kind)
     res_fn, jac_fn = _CASES[kind]
-    w_fn, stats_fn = stats_lm._OBJECTIVES[kind]
+    w_fn, stats_fn, _, _ = stats_lm._OBJECTIVES[kind]
     h = stats_fn(data)
 
     x = _x0(kind, data) * 1.03 + 0.01  # generic non-stationary point
@@ -131,7 +131,7 @@ def test_minima_match_full_lm(kind):
 def test_masked_stats_equal_deleted_rows(kind):
     """Mask-weighted H == H of the kept subset (consensus-refit semantics)."""
     data, _ = _make(kind)
-    _, stats_fn = stats_lm._OBJECTIVES[kind]
+    _, stats_fn, _, _ = stats_lm._OBJECTIVES[kind]
     n = jax.tree_util.tree_leaves(data)[0].shape[0]
     mask = jnp.arange(n) % 3 != 0
     kept = jax.tree_util.tree_map(lambda a: a[mask], data)
