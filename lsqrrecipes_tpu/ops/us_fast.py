@@ -341,7 +341,12 @@ def _plane_phantom_fit_slots(slot_pl, k: int):
         n2 = jnp.sum(v * v, axis=1, keepdims=True)
         return v * jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
 
-    for _ in range(3):
+    # Two iterations suffice: each step amplifies the small-sigma subspace
+    # by ~(sigma_30/sigma_31)^2 >= 1e4 through R^{-1} R^{-T}, and the f64
+    # Rayleigh-Ritz below only needs the subspace to CONTAIN the null
+    # direction, not resolve it (3 iterations measured identical counts on
+    # the chip gate and the golden outlier data; the third cost ~2ms/sweep).
+    for _ in range(2):
         v_pl = _norm_pl(solve_rt_r_planar(r_pl, d_clamped, v_pl))
         cols = []
         for j in range(q):
@@ -650,8 +655,10 @@ def _fit_vote_chunk(kind, delta_sq, slot_pl, feats):
 
 def _chunk_size(bsz, n, k=4):
     # ~4M residual cells per chunk keeps the [chunk, n] vote tile VMEM-sized;
-    # the k*k bound keeps the plane-phantom [chunk, 31, 31] normal matrices
-    # (and their Cholesky workspace) similarly bounded.
+    # the k*k bound keeps the plane-phantom [chunk, 31, 31] planar scan
+    # carries VMEM-resident (chip traces show them in S(1) at chunk=4364;
+    # an un-chunked whole-batch variant measured 3x SLOWER at B=32k — the
+    # [31, 31, 32768] carries stream HBM on every one of the 31 scan steps).
     return min(bsz, max(256, (1 << 22) // max(n, k * k)))
 
 
@@ -681,20 +688,31 @@ def build_sampling_planes(kind, data, key, groups: int):
     """
     from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
 
+    import numpy as np
+
     _, k, _, features, slot_features, _ = _KINDS[kind]
     feats_elem = slot_features(data)          # [n, F]
     feats_vote = features(data)               # [n, K]
     n = feats_elem.shape[0]
     perm = jax.random.permutation(key, n)
     planar = feats_elem[perm].T               # [F, n]
-    slots = []
-    for shifts in structured_shift_table(n, k, groups):
-        slots.append(
-            jnp.stack(
-                [jnp.roll(planar, -s, axis=1) for s in shifts], axis=0
-            )
-        )                                     # [k, F, n]
-    return jnp.concatenate(slots, axis=-1), feats_vote
+
+    # groups * k rolls is THE dominant cost of a structured sweep at large
+    # group counts (k=31 phantom at groups=512 would emit ~16k roll ops;
+    # the round-4 chip breakdown measured plane construction at ~75% of the
+    # whole phantom sweep).  All shifts are mod n, so roll once per UNIQUE
+    # shift value (U <= n) and assemble the [k, F, groups * n] planes with
+    # one static block-gather — identical output, ~U + 2 ops.
+    table = np.asarray(structured_shift_table(n, k, groups)) % n  # [G, k]
+    uniq, inv = np.unique(table, return_inverse=True)
+    rolled = jnp.stack(
+        [planar if s == 0 else jnp.roll(planar, -int(s), axis=1)
+         for s in uniq]
+    )                                         # [U, F, n]
+    sel = jnp.asarray(inv.reshape(table.shape).T, jnp.int32)      # [k, G]
+    planes = rolled[sel]                      # [k, G, F, n]
+    planes = jnp.moveaxis(planes, 2, 1).reshape(k, planar.shape[0], -1)
+    return planes, feats_vote
 
 
 def structured_sweep(kind, est, data, key, groups: int):

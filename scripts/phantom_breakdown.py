@@ -27,7 +27,8 @@ from lsqrrecipes_tpu.synthetic import make_plane_phantom_data  # noqa: E402
 print("devices:", jax.devices(), flush=True)
 
 n = 64
-groups = 32  # B = 2048
+import os
+groups = int(os.environ.get('PB_GROUPS', '32'))  # B = groups * 64
 reps = 8
 est = PlanePhantomUSCalibrationEstimator(delta=1.0)
 data, _, _ = make_plane_phantom_data(jax.random.PRNGKey(0), n=n)

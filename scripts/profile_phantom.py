@@ -56,7 +56,7 @@ def xplane_summary(trace_dir, top=40):
 def main():
     print("devices:", jax.devices(), flush=True)
     n = 64
-    groups = 32
+    groups = int(os.environ.get("PP_GROUPS", "32"))
     est = PlanePhantomUSCalibrationEstimator(delta=1.0)
     data, _, _ = make_plane_phantom_data(jax.random.PRNGKey(0), n=n)
 
