@@ -758,11 +758,9 @@ def bench_lm_pointer(args):
             # per-rep outputs must track it (proof the timed work ran).
             data = (Frame(r2, t2), q, p + s * r2col0)
             h = jax.vmap(stats_lm.pointer_stats)(data)
-            res = jax.vmap(
-                lambda h_, x_: stats_lm.feature_lm(
-                    stats_lm.pointer_w, h_, x_, config
-                )
-            )(h, x0s)
+            res = stats_lm.feature_lm_planar(
+                stats_lm.pointer_w, h, x0s, config
+            )
             return carry, (jnp.mean(res.x[:, 0]), jnp.max(res.iterations))
         _, (t3x, its) = jax.lax.scan(body, 0, shifts)
         return t3x, its

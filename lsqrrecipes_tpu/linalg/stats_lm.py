@@ -43,7 +43,7 @@ Feature maps (all cite the reference residual definitions):
     (``PlanePhantom...cxx:119-355`` / residual ``:357-447``).
 """
 
-from typing import Callable, Optional
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -225,6 +225,146 @@ def us_feature_lm(
     return feature_lm(w_fn_c, gram, x0, config)
 
 
+def _quad_batched(w_fn, h, x):
+    """Batched (J^T J [B, P, P], g [B, P]) from Grams ``h [B, F, F]``.
+
+    Everything is 2-D-sliced: under vmap the per-lane einsums become f64
+    batched dot_generals over tiny [B, R, F, P] operands whose trailing
+    dims pad to (8, 128) tiles — measured 23 ms per iteration at B=4096 on
+    the chip.  Unrolling the small R x F indices in Python keeps every
+    array [B], [B, P] or [B, P, P]: ~1-2 ms for the same arithmetic.
+    """
+    w = jax.vmap(w_fn)(x)                               # [B, R, F]
+    t = jax.vmap(jax.jacfwd(w_fn))(x)                   # [B, R, F, P]
+    r_n, f_n = w.shape[1], w.shape[2]
+    wcol = [[w[:, r, f] for f in range(f_n)] for r in range(r_n)]
+    hcol = [[h[:, f, e] for e in range(f_n)] for f in range(f_n)]
+    tcol = [[t[:, r, f, :] for f in range(f_n)] for r in range(r_n)]
+
+    wh = [
+        [sum(wcol[r][f] * hcol[f][e] for f in range(f_n)) for e in range(f_n)]
+        for r in range(r_n)
+    ]
+    g = 0.0
+    for r in range(r_n):
+        for f in range(f_n):
+            g = g + tcol[r][f] * wh[r][f][:, None]
+    jtj = 0.0
+    for r in range(r_n):
+        for e in range(f_n):
+            u = sum(hcol[f][e][:, None] * tcol[r][f] for f in range(f_n))
+            jtj = jtj + u[:, :, None] * tcol[r][e][:, None, :]
+    cost = 0.0
+    for r in range(r_n):
+        for f in range(f_n):
+            cost = cost + wh[r][f] * wcol[r][f]
+    return jtj, g, 0.5 * cost
+
+
+def _cost_batched(w_fn, h, x):
+    w = jax.vmap(w_fn)(x)
+    r_n, f_n = w.shape[1], w.shape[2]
+    cost = 0.0
+    for r in range(r_n):
+        for f in range(f_n):
+            whrf = sum(w[:, r, fp] * h[:, fp, f] for fp in range(f_n))
+            cost = cost + whrf * w[:, r, f]
+    return 0.5 * cost
+
+
+class _BState(NamedTuple):
+    x: jnp.ndarray
+    cost: jnp.ndarray
+    lam: jnp.ndarray
+    nu: jnp.ndarray
+    it: jnp.ndarray
+    done: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig()) -> LMResult:
+    """Natively-batched :func:`feature_lm`: ``h [B, F, F]``, ``x0 [B, P]``.
+
+    Same damping schedule, accept rule and convergence tests as
+    :func:`lsqrrecipes_tpu.linalg.lm.lm_core` (per-lane state, frozen once
+    done); B solves advance in lockstep with the quad in sliced-2-D form.
+    """
+    from lsqrrecipes_tpu.linalg import small
+
+    dtype = x0.dtype
+    eps_tiny = jnp.finfo(dtype).tiny
+    p_n = x0.shape[1]
+    eye = jnp.eye(p_n, dtype=dtype)
+
+    def body(s: _BState) -> _BState:
+        jtj, g, _ = _quad_batched(w_fn, h, s.x)
+        gnorm = jnp.max(jnp.abs(g), axis=1)
+        diag = jnp.maximum(
+            jnp.diagonal(jtj, axis1=1, axis2=2), eps_tiny
+        )
+        a = jtj + (s.lam[:, None] * diag)[:, :, None] * eye[None, :, :]
+        step, _ = small.cholesky_solve_unrolled(a, -g, p_n)
+
+        x_new = s.x + step
+        cost_new = _cost_batched(w_fn, h, x_new)
+
+        jtj_step = jnp.sum(jtj * step[:, None, :], axis=2)
+        predicted = jnp.maximum(
+            -jnp.sum(step * g, axis=1) - 0.5 * jnp.sum(step * jtj_step, axis=1),
+            eps_tiny,
+        )
+        rho = (s.cost - cost_new) / predicted
+
+        accept = jnp.isfinite(cost_new) & (cost_new < s.cost)
+        shrink = jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3)
+        lam_acc = jnp.maximum(s.lam * shrink, 1e-18)
+        lam_rej = jnp.minimum(s.lam * s.nu, config.max_lambda)
+        lam = jnp.where(accept, lam_acc, lam_rej)
+        nu = jnp.where(accept, jnp.asarray(2.0, dtype), s.nu * 2.0)
+        x = jnp.where(accept[:, None], x_new, s.x)
+        cost = jnp.where(accept, cost_new, s.cost)
+
+        small_grad = gnorm < config.gtol
+        small_step = jnp.linalg.norm(step, axis=1) < config.xtol * (
+            jnp.linalg.norm(s.x, axis=1) + config.xtol
+        )
+        small_decrease = accept & (
+            (s.cost - cost_new) <= config.ftol * jnp.maximum(s.cost, eps_tiny)
+        )
+        lam_blown = lam >= config.max_lambda
+        converged = small_grad | small_step | small_decrease | lam_blown
+        done = converged | (s.it + 1 >= config.max_iters)
+
+        frz = s.done
+
+        def pick(new, old):
+            return jnp.where(
+                frz.reshape(frz.shape + (1,) * (new.ndim - 1)), old, new
+            )
+
+        return _BState(
+            pick(x, s.x), pick(cost, s.cost), pick(lam, s.lam),
+            pick(nu, s.nu), s.it + jnp.where(frz, 0, 1).astype(s.it.dtype),
+            s.done | done, s.converged | (converged & ~frz),
+        )
+
+    def cond(s: _BState):
+        return jnp.any(~s.done)
+
+    b = x0.shape[0]
+    init = _BState(
+        x=x0,
+        cost=_cost_batched(w_fn, h, x0),
+        lam=jnp.full((b,), config.init_lambda, dtype),
+        nu=jnp.full((b,), 2.0, dtype),
+        it=jnp.zeros((b,), jnp.int32),
+        done=jnp.zeros((b,), bool),
+        converged=jnp.zeros((b,), bool),
+    )
+    final = jax.lax.while_loop(cond, body, init)
+    return LMResult(final.x, final.cost, final.it, final.converged)
+
+
 def us_feature_lm_batched(
     kind: str,
     data,
@@ -236,17 +376,32 @@ def us_feature_lm_batched(
 
     ``x0 [B, P]``, ``masks [B, n]`` (None = all inliers for every problem).
     The per-problem (centered) Gram matrices are one einsum over the shared
-    feature matrix; the LM loop vmaps over lanes with zero per-iteration
-    O(n) work.
+    feature matrix; the LM runs as the natively-batched planar solver with
+    zero per-iteration O(n) work.
     """
     w_fn, _, feats_fn, const_idx = _OBJECTIVES[kind]
     h = feats_fn(data)
 
-    def solve(mask_or_none, x_):
+    def gram_of(mask_or_none):
         wts = _weights(h.shape[0], mask_or_none, h.dtype)
-        w_fn_c, gram = _centered_problem(w_fn, h, wts, const_idx)
-        return feature_lm(w_fn_c, gram, x_, config)
+        return _centered_problem(w_fn, h, wts, const_idx)
 
     if masks is None:
-        return jax.vmap(lambda x_: solve(None, x_))(x0)
-    return jax.vmap(solve)(masks, x0)
+        w_fn_c, gram = gram_of(None)
+        grams = jnp.broadcast_to(gram, (x0.shape[0],) + gram.shape)
+    else:
+        # The centering means m differs per mask; fold it per problem by
+        # centering against the GLOBAL weighted mean instead (any m gives
+        # the exact same minimization — see _centered_problem — so one
+        # shared m keeps w_fn identical across the batch).
+        wts_all = _weights(h.shape[0], None, h.dtype)
+        m = (wts_all @ h) / jnp.maximum(jnp.sum(wts_all), 1.0)
+        m = m.at[const_idx].set(0.0)
+        hc = h - m[None, :] * h[:, const_idx:const_idx + 1]
+
+        def w_fn_c(x):
+            w = w_fn(x)
+            return w.at[:, const_idx].add(w @ m)
+
+        grams = jnp.einsum("ni,nj,bn->bij", hc, hc, masks.astype(h.dtype))
+    return feature_lm_planar(w_fn_c, grams, x0, config)

@@ -260,6 +260,11 @@ def _pointer_fit_slots(slot_pl, k: int):
 # of magnitude above the gate.
 _PHANTOM_FLT_EPS = 1.192092896e-07
 
+# k=31 f32 stage: True = the fused Pallas QR+subspace kernel
+# (ops/phantom_qr.py); False = the XLA planar-scan stage (kept as the
+# parity/fallback path — both feed the same f64 Rayleigh-Ritz tail).
+_USE_QR_KERNEL = True
+
 
 
 
@@ -305,6 +310,23 @@ def _plane_phantom_fit_slots(slot_pl, k: int):
     )
 
     a32 = a_pl.astype(f32)                              # [31, 31, B]
+    from lsqrrecipes_tpu.ops.fused_sweep import _auto_interpret
+
+    if _USE_QR_KERNEL and not _auto_interpret():
+        # Fused Pallas QR + inverse-iteration subspace (ops/phantom_qr.py):
+        # identical arithmetic with the panel VMEM-resident and every step
+        # unrolled — replaces the qr_r_planar scan + the per-iteration
+        # triangular-solve scans below.  Real-chip only: the ~3k-op
+        # unrolled kernel takes ~10 min of XLA-CPU compile in interpret
+        # mode (Mosaic compiles it in seconds), so CPU tests exercise the
+        # XLA stage below and the Pallas stage is gated by
+        # scripts/chip_check.py (us_plane_phantom) on hardware — the same
+        # split every fused family uses.
+        from lsqrrecipes_tpu.ops.phantom_qr import phantom_subspace
+
+        v_pl = phantom_subspace(a32, interpret=False)
+        fac_ok = jnp.all(jnp.isfinite(v_pl), axis=(0, 1))
+        return _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt)
     r_pl = qr_r_planar(a32)
     fac_ok = jnp.all(jnp.isfinite(r_pl), axis=(0, 1))
     # Clamp pivots at the f32 noise floor: exact-null pivots underflow to
@@ -356,6 +378,21 @@ def _plane_phantom_fit_slots(slot_pl, k: int):
             n2 = jnp.sum(c * c, axis=0, keepdims=True)
             cols.append(c * jax.lax.rsqrt(jnp.maximum(n2, 1e-30)))
         v_pl = jnp.stack(cols)
+
+    return _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt)
+
+
+def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
+    """Shared tail of the k=31 fit: f64 Rayleigh-Ritz null vector from the
+    f32 subspace, rank gate, and the reference's reconstruction
+    (``PlanePhantom...cxx:204-355``)."""
+    import numpy as _np
+
+    from lsqrrecipes_tpu.linalg.small import cholesky_solve_unrolled
+
+    f32 = jnp.float32
+    bsz = a_pl.shape[-1]
+    q = v_pl.shape[0]
 
     # ---- f64 Rayleigh-Ritz: resolve the sigma_30/sigma_31 gap exactly.
     # Project the exact A^T A onto the 4-dim subspace with planar
