@@ -19,8 +19,8 @@ LABELS = {
     "dense": ("dense 6-unknown linear RANSAC (fused family)", "hyp/s"),
     "us": ("crosswire US-calibration RANSAC (fused family)", "hyp/s"),
     "pointer": ("pointer US-calibration RANSAC (fused family)", "hyp/s"),
-    "phantom": ("plane-phantom US-calibration RANSAC (k=31, planar XLA)",
-                "hyp/s"),
+    "phantom": ("plane-phantom US-calibration RANSAC (k=31, fused Pallas "
+                "QR subspace)", "hyp/s"),
 }
 
 
