@@ -27,7 +27,13 @@ sys.path.insert(0, REPO)
 
 
 def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseline"):
-    """Compile (cached) and run a serial C++ baseline; returns hyp/s."""
+    """Compile (cached) and run a serial C++ baseline; returns hyp/s.
+
+    BEST of 3 runs: the host is shared, and a co-tenant burst during the
+    single timed pass once under-reported the phantom baseline by 2x —
+    inflating the TPU ratio.  Taking the baseline's best keeps every
+    vs_baseline conservative.
+    """
     src = os.path.join(REPO, "native", name + ".cpp")
     binary = os.path.join(REPO, "native", name)
     # us_baseline: the tree-vectorizer at -march=native miscompiles (SIGSEGV)
@@ -39,13 +45,16 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseli
             ["g++", "-O3", "-march=native", *extra, "-o", binary, src],
             check=True,
         )
-    out = subprocess.run(
-        [binary, str(n_points), str(hypotheses)],
-        check=True,
-        capture_output=True,
-        text=True,
-    )
-    return float(json.loads(out.stdout)["hyp_per_s"])
+    best = 0.0
+    for _ in range(3):
+        out = subprocess.run(
+            [binary, str(n_points), str(hypotheses)],
+            check=True,
+            capture_output=True,
+            text=True,
+        )
+        best = max(best, float(json.loads(out.stdout)["hyp_per_s"]))
+    return best
 
 
 def bench_pivot(args):
