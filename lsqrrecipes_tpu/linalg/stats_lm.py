@@ -210,6 +210,30 @@ def _centered_problem(w_fn, h, wts, const_idx):
     return w_fn_c, gram
 
 
+def centered_from_gram(w_fn, g_raw, const_idx):
+    """Centered problem from a RAW Gram matrix ``G = sum w h h^T``.
+
+    The centering mean is recoverable from G itself (``m_j = G[j, c] /
+    G[c, c]`` — the constant feature is 1), so a distributed refit needs
+    only ONE psum of the raw Gram; the centered Gram is the congruence
+    ``(I - m e_c^T) G (I - m e_c^T)^T``.  Semantically identical to
+    :func:`_centered_problem` on the raw features.
+    """
+    f_n = g_raw.shape[-1]
+    m = g_raw[:, const_idx] / jnp.maximum(g_raw[const_idx, const_idx], 1.0)
+    m = m.at[const_idx].set(0.0)
+    s = jnp.eye(f_n, dtype=g_raw.dtype) - jnp.outer(
+        m, jnp.zeros((f_n,), g_raw.dtype).at[const_idx].set(1.0)
+    )
+    gram = s @ g_raw @ s.T
+
+    def w_fn_c(x):
+        w = w_fn(x)
+        return w.at[:, const_idx].add(w @ m)
+
+    return w_fn_c, gram
+
+
 def us_feature_lm(
     kind: str,
     data,

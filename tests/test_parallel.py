@@ -153,3 +153,40 @@ def test_sharded_lsq_fit_matches_local():
     params, valid = sharded_lsq_fit(est, data, mesh=mesh)
     assert bool(valid)
     np.testing.assert_allclose(params, x_true, atol=1e-9)
+
+
+def test_sharded_us_feature_lm_matches_unsharded():
+    """Observation-sharded stats-LM refit (ONE [F, F] psum) equals the
+    single-device solve on an 8-device data mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lsqrrecipes_tpu.estimators.us_calibration import (
+        ANALYTIC,
+        PointerUSCalibrationEstimator,
+    )
+    from lsqrrecipes_tpu.linalg import LMConfig
+    from lsqrrecipes_tpu.linalg import stats_lm
+    from lsqrrecipes_tpu.parallel.sharded import sharded_us_feature_lm
+    from lsqrrecipes_tpu.synthetic import make_pointer_data
+
+    n = 64
+    (frames, q, p), _, _ = make_pointer_data(jax.random.PRNGKey(4), n=n)
+    data = (frames, q, p)
+    est = PointerUSCalibrationEstimator(delta=3.0, ls_type=ANALYTIC)
+    params, ok = est.lsq_fit(data)
+    assert bool(ok)
+    x0 = params[:8]
+    mask = jnp.arange(n) % 5 != 0
+    config = LMConfig(max_iters=200)
+
+    devices = np.asarray(jax.devices("cpu")[:8])
+    mesh = Mesh(devices, ("data",))
+    res_sh = sharded_us_feature_lm(
+        "pointer", data, x0, mask, config=config, mesh=mesh
+    )
+    res_1 = stats_lm.us_feature_lm("pointer", data, x0, mask, config=config)
+
+    assert bool(res_sh.converged) and bool(res_1.converged)
+    np.testing.assert_allclose(np.asarray(res_sh.x), np.asarray(res_1.x),
+                               rtol=1e-8, atol=1e-9)
