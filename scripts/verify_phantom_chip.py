@@ -14,10 +14,8 @@ import numpy as np
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, "/root/repo")
-from lsqrrecipes_tpu.synthetic import (  # noqa: E402
-    make_plane_phantom_data,
-    _check_plane_phantom,
-)
+from lsqrrecipes_tpu.synthetic import make_plane_phantom_data  # noqa: E402
+from tests.test_us_calibration import _check_plane_phantom  # noqa: E402
 from lsqrrecipes_tpu.estimators.us_calibration import (  # noqa: E402
     PlanePhantomUSCalibrationEstimator,
 )
