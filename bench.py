@@ -32,7 +32,9 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseli
     BEST of 3 runs: the host is shared, and a co-tenant burst during the
     single timed pass once under-reported the phantom baseline by 2x —
     inflating the TPU ratio.  Taking the baseline's best keeps every
-    vs_baseline conservative.
+    vs_baseline conservative.  If the 3 runs disperse by more than 1.3x
+    (max/min) the denominator is suspect — retry the batch once and warn
+    on stderr so a poisoned ratio can't be committed silently.
     """
     src = os.path.join(REPO, "native", name + ".cpp")
     binary = os.path.join(REPO, "native", name)
@@ -45,16 +47,33 @@ def build_and_run_cpp_baseline(n_points, hypotheses=200_000, name="ransac_baseli
             ["g++", "-O3", "-march=native", *extra, "-o", binary, src],
             check=True,
         )
-    best = 0.0
-    for _ in range(3):
-        out = subprocess.run(
-            [binary, str(n_points), str(hypotheses)],
-            check=True,
-            capture_output=True,
-            text=True,
+    def run_batch():
+        rates = []
+        for _ in range(3):
+            out = subprocess.run(
+                [binary, str(n_points), str(hypotheses)],
+                check=True,
+                capture_output=True,
+                text=True,
+            )
+            rates.append(float(json.loads(out.stdout)["hyp_per_s"]))
+        return rates
+
+    rates = run_batch()
+    if max(rates) / min(rates) > 1.3:
+        print(
+            f"WARNING: {name} baseline runs disperse {max(rates)/min(rates):.2f}x"
+            f" ({rates}); retrying once (co-tenant contention?)",
+            file=sys.stderr,
         )
-        best = max(best, float(json.loads(out.stdout)["hyp_per_s"]))
-    return best
+        rates += run_batch()
+        if max(rates) / min(rates) > 1.3:
+            print(
+                f"WARNING: {name} baseline still noisy after retry ({rates});"
+                " using the best run — treat vs_baseline with care",
+                file=sys.stderr,
+            )
+    return max(rates)
 
 
 def bench_pivot(args):

@@ -172,8 +172,17 @@ class SphereEstimator(Estimator):
             - 2.0 * cp
             + jnp.sum(c * c, axis=-1)[:, None]
         )
-        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        return jnp.sum(jnp.abs(dist - r[:, None]) < self.delta, axis=-1)
+        # Sqrt-free exact band: |sqrt(max(d2,0)) - r| < delta  <=>
+        # (max(r-delta,0))^2 < d2 < (r+delta)^2 (strict at the lower edge).
+        # Same predicate in real arithmetic, zero per-cell sqrt/abs; the
+        # literal form lives on in ``agree`` as the parity oracle.
+        rp = r + self.delta
+        rm = r - self.delta
+        hi2 = rp * rp
+        lo2 = jnp.where(rm >= 0.0, rm * rm, -jnp.inf)
+        return jnp.sum(
+            (d2 < hi2[:, None]) & (d2 > lo2[:, None]), axis=-1
+        )
 
     def distance_statistics(self, params, data):
         """Per-point |distance - r| plus (min, max, mean)

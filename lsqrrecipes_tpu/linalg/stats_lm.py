@@ -217,7 +217,11 @@ def centered_from_gram(w_fn, g_raw, const_idx):
     G[c, c]`` — the constant feature is 1), so a distributed refit needs
     only ONE psum of the raw Gram; the centered Gram is the congruence
     ``(I - m e_c^T) G (I - m e_c^T)^T``.  Semantically identical to
-    :func:`_centered_problem` on the raw features.
+    :func:`_centered_problem` on the raw features, but the congruence
+    perturbs H by ~eps*(raw scale) at build time, so
+    ``parallel.sharded.sharded_us_feature_lm`` now prefers two psums
+    ([F] feature sum, then the feature-centered Gram); this one-psum
+    variant remains for communication-critical callers.
     """
     f_n = g_raw.shape[-1]
     m = g_raw[:, const_idx] / jnp.maximum(g_raw[const_idx, const_idx], 1.0)
@@ -249,7 +253,7 @@ def us_feature_lm(
     return feature_lm(w_fn_c, gram, x0, config)
 
 
-def _quad_batched(w_fn, h, x):
+def _quad_batched(w_fn, h, x, w_args=()):
     """Batched (J^T J [B, P, P], g [B, P]) from Grams ``h [B, F, F]``.
 
     Everything is 2-D-sliced: under vmap the per-lane einsums become f64
@@ -257,9 +261,13 @@ def _quad_batched(w_fn, h, x):
     dims pad to (8, 128) tiles — measured 23 ms per iteration at B=4096 on
     the chip.  Unrolling the small R x F indices in Python keeps every
     array [B], [B, P] or [B, P, P]: ~1-2 ms for the same arithmetic.
+
+    ``w_args`` are optional extra PER-LANE ``[B, ...]`` operands passed to
+    ``w_fn(x, *w_args)`` (e.g. a per-problem centering mean); the Jacobian
+    is still taken w.r.t. ``x`` only.
     """
-    w = jax.vmap(w_fn)(x)                               # [B, R, F]
-    t = jax.vmap(jax.jacfwd(w_fn))(x)                   # [B, R, F, P]
+    w = jax.vmap(w_fn)(x, *w_args)                      # [B, R, F]
+    t = jax.vmap(jax.jacfwd(w_fn))(x, *w_args)          # [B, R, F, P]
     r_n, f_n = w.shape[1], w.shape[2]
     wcol = [[w[:, r, f] for f in range(f_n)] for r in range(r_n)]
     hcol = [[h[:, f, e] for e in range(f_n)] for f in range(f_n)]
@@ -285,8 +293,8 @@ def _quad_batched(w_fn, h, x):
     return jtj, g, 0.5 * cost
 
 
-def _cost_batched(w_fn, h, x):
-    w = jax.vmap(w_fn)(x)
+def _cost_batched(w_fn, h, x, w_args=()):
+    w = jax.vmap(w_fn)(x, *w_args)
     r_n, f_n = w.shape[1], w.shape[2]
     cost = 0.0
     for r in range(r_n):
@@ -306,12 +314,15 @@ class _BState(NamedTuple):
     converged: jnp.ndarray
 
 
-def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig()) -> LMResult:
+def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig(),
+                      w_args=()) -> LMResult:
     """Natively-batched :func:`feature_lm`: ``h [B, F, F]``, ``x0 [B, P]``.
 
     Same damping schedule, accept rule and convergence tests as
     :func:`lsqrrecipes_tpu.linalg.lm.lm_core` (per-lane state, frozen once
     done); B solves advance in lockstep with the quad in sliced-2-D form.
+    ``w_args``: optional per-lane ``[B, ...]`` extras for ``w_fn`` (see
+    :func:`_quad_batched`).
     """
     from lsqrrecipes_tpu.linalg import small
 
@@ -321,7 +332,7 @@ def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig()) -> LMResult:
     eye = jnp.eye(p_n, dtype=dtype)
 
     def body(s: _BState) -> _BState:
-        jtj, g, _ = _quad_batched(w_fn, h, s.x)
+        jtj, g, _ = _quad_batched(w_fn, h, s.x, w_args)
         gnorm = jnp.max(jnp.abs(g), axis=1)
         diag = jnp.maximum(
             jnp.diagonal(jtj, axis1=1, axis2=2), eps_tiny
@@ -330,7 +341,7 @@ def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig()) -> LMResult:
         step, _ = small.cholesky_solve_unrolled(a, -g, p_n)
 
         x_new = s.x + step
-        cost_new = _cost_batched(w_fn, h, x_new)
+        cost_new = _cost_batched(w_fn, h, x_new, w_args)
 
         jtj_step = jnp.sum(jtj * step[:, None, :], axis=2)
         predicted = jnp.maximum(
@@ -378,7 +389,7 @@ def feature_lm_planar(w_fn, h, x0, config: LMConfig = LMConfig()) -> LMResult:
     b = x0.shape[0]
     init = _BState(
         x=x0,
-        cost=_cost_batched(w_fn, h, x0),
+        cost=_cost_batched(w_fn, h, x0, w_args),
         lam=jnp.full((b,), config.init_lambda, dtype),
         nu=jnp.full((b,), 2.0, dtype),
         it=jnp.zeros((b,), jnp.int32),
@@ -410,22 +421,44 @@ def us_feature_lm_batched(
         wts = _weights(h.shape[0], mask_or_none, h.dtype)
         return _centered_problem(w_fn, h, wts, const_idx)
 
+    b = x0.shape[0]
+
+    def w_fn_m(x, m):
+        w = w_fn(x)
+        return w.at[:, const_idx].add(w @ m)
+
     if masks is None:
         w_fn_c, gram = gram_of(None)
-        grams = jnp.broadcast_to(gram, (x0.shape[0],) + gram.shape)
-    else:
-        # The centering means m differs per mask; fold it per problem by
-        # centering against the GLOBAL weighted mean instead (any m gives
-        # the exact same minimization — see _centered_problem — so one
-        # shared m keeps w_fn identical across the batch).
-        wts_all = _weights(h.shape[0], None, h.dtype)
-        m = (wts_all @ h) / jnp.maximum(jnp.sum(wts_all), 1.0)
-        m = m.at[const_idx].set(0.0)
-        hc = h - m[None, :] * h[:, const_idx:const_idx + 1]
+        grams = jnp.broadcast_to(gram, (b,) + gram.shape)
+        return feature_lm_planar(w_fn_c, grams, x0, config)
 
-        def w_fn_c(x):
-            w = w_fn(x)
-            return w.at[:, const_idx].add(w @ m)
+    # Per-problem EXACT centering in two stages.  Any centering mean m is
+    # an exact change of basis (W' h' == W h, see _centered_problem), but
+    # conditioning is best when m is each problem's OWN mask-weighted mean.
+    # Stage 1 centers the features on the global mean m_g (kills the
+    # O(raw-scale) cancellation before any Gram is built); stage 2 recovers
+    # each problem's residual mean m_b from its stage-1 Gram (m_b =
+    # G[:, c] / G[c, c] — the constant feature is 1) and applies the
+    # rank-1 congruence (I - m_b e_c^T) G (I - m_b e_c^T)^T, now on
+    # mask-offset-scale entries where the one-time eps*scale perturbation
+    # is harmless.  The two stages compose exactly: since m_b[c] == 0,
+    # (I - m_g e_c^T)(I - m_b e_c^T) = I - (m_g + m_b) e_c^T, so the
+    # per-lane coefficient map is w_fn_m(x, m_g + m_b).
+    wts_all = _weights(h.shape[0], None, h.dtype)
+    m_g = (wts_all @ h) / jnp.maximum(jnp.sum(wts_all), 1.0)
+    m_g = m_g.at[const_idx].set(0.0)
+    hc = h - m_g[None, :] * h[:, const_idx:const_idx + 1]
+    g1 = jnp.einsum("ni,nj,bn->bij", hc, hc, masks.astype(h.dtype))
 
-        grams = jnp.einsum("ni,nj,bn->bij", hc, hc, masks.astype(h.dtype))
-    return feature_lm_planar(w_fn_c, grams, x0, config)
+    gc = g1[:, :, const_idx]                                  # [B, F]
+    gcc = g1[:, const_idx, const_idx]                         # [B]
+    m_b = gc / jnp.maximum(gcc, 1.0)[:, None]
+    m_b = m_b.at[:, const_idx].set(0.0)
+    grams = (
+        g1
+        - m_b[:, :, None] * gc[:, None, :]
+        - gc[:, :, None] * m_b[:, None, :]
+        + gcc[:, None, None] * m_b[:, :, None] * m_b[:, None, :]
+    )
+    m_lane = m_g[None, :] + m_b                               # [B, F]
+    return feature_lm_planar(w_fn_m, grams, x0, config, w_args=(m_lane,))

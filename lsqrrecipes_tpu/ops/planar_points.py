@@ -15,8 +15,9 @@ reference's f64 semantics exactly:
     system (``SphereParametersEstimator.hxx:80-163``, ``|det| < SPHERE_EPS``
     gate) evaluated as pure lane arithmetic on ``[B]`` vectors;
   * the vote is the estimator's own exact ``agree`` semantics
-    (``| ||p-c|| - r | < delta``) with the dominant term as one
-    ``[B, 3] @ [3, n]`` matmul.
+    (``| ||p-c|| - r | < delta``), evaluated sqrt-free as the equivalent
+    squared band ``(max(r-delta,0))^2 < d2 < (r+delta)^2`` with the
+    dominant term as one ``[B, 3] @ [3, n]`` matmul.
 
 Everything is f64: no Pallas, no precision tricks — this is the generic
 engine's throughput driver, not a redesign of its numerics.
@@ -78,7 +79,16 @@ def sphere3d_planar_sweep(points, key, groups: int, delta: float,
     )                                                      # [3, B]
     r = jnp.sqrt(jnp.sum((q0 - center) ** 2, axis=0))      # [B]
 
-    # Exact agree vote: |sqrt(d2) - r| < delta, dominant term on the MXU.
+    # Exact agree vote, sqrt-free: |sqrt(max(d2,0)) - r| < delta is, in real
+    # arithmetic, the squared band  (max(r-delta,0))^2 < d2 < (r+delta)^2
+    # (strict at the lower edge, so r == delta still demands d2 > 0).  The
+    # band edges are per-hypothesis constants computed once per column; the
+    # per-cell work drops from emulated-f64 sqrt+abs+compare to two compares,
+    # with the dominant d2 term still one [B, 3] @ [3, n] matmul on the MXU.
+    # ``SphereParametersEstimator.hxx:255-264`` is the predicate being
+    # squared; the literal |sqrt - r| form survives as the parity oracle in
+    # ``estimators.sphere.Sphere.agree`` (count-equality pinned in
+    # tests/test_ops.py).
     b = center.shape[1]
     c_bt = center.T                                        # [B, 3]
     p2 = jnp.sum(points * points, axis=-1)                 # [n]
@@ -88,8 +98,13 @@ def sphere3d_planar_sweep(points, key, groups: int, delta: float,
         cp = jnp.einsum("bd,nd->bn", c_blk, points,
                         preferred_element_type=points.dtype)
         d2 = p2[None, :] - 2.0 * cp + c2_blk[:, None]
-        dist = jnp.sqrt(jnp.maximum(d2, 0.0))
-        return jnp.sum(jnp.abs(dist - r_blk[:, None]) < delta, axis=-1)
+        rp = r_blk + delta
+        rm = r_blk - delta
+        hi2 = rp * rp
+        lo2 = jnp.where(rm >= 0.0, rm * rm, -jnp.inf)
+        return jnp.sum(
+            (d2 < hi2[:, None]) & (d2 > lo2[:, None]), axis=-1
+        )
 
     if chunk and chunk < b:
         assert b % chunk == 0

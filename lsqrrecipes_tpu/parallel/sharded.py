@@ -71,10 +71,7 @@ def _select_broadcast(value, selected, axis):
 
     Masked psum: exactly one shard contributes, all receive the winner.
     """
-    zero = jnp.zeros_like(value)
-    contrib = jnp.where(selected, value, zero) if value.ndim == 0 else jnp.where(
-        selected, value, zero
-    )
+    contrib = jnp.where(selected, value, jnp.zeros_like(value))
     return jax.lax.psum(contrib, axis)
 
 
@@ -236,15 +233,46 @@ def sharded_us_feature_lm(
     """Observation-sharded sufficient-statistics LM refit (US objectives).
 
     The feature Gram matrix ``H = sum_i w_i h_i h_i^T`` is ADDITIVE over
-    observations, so the distributed refit is: per-shard partial raw Gram
-    -> ONE ``psum`` of an ``[F, F]`` matrix -> every shard runs the
-    identical O(1)-per-iteration solve (:mod:`lsqrrecipes_tpu.linalg.
-    stats_lm`) on the replicated stats.  This realizes SURVEY §2.7's
+    observations, so the distributed refit is: ``psum`` the ``[F]``
+    weighted feature sum (-> the global centering mean), center the local
+    features, ``psum`` the per-shard partial CENTERED ``[F, F]`` Gram ->
+    every shard runs the identical O(1)-per-iteration solve
+    (:mod:`lsqrrecipes_tpu.linalg.stats_lm`) on the replicated stats.
+    Centering on features before the Gram is built matches the local
+    ``_centered_problem`` precision (the one-psum raw-Gram congruence,
+    ``stats_lm.centered_from_gram``, re-introduces an eps*(raw-scale)
+    perturbation at Gram-build time).  This realizes SURVEY §2.7's
     "J^T J / J^T r partials psum-reduced" for the reference's heaviest LM
     use (``SinglePointTarget...cxx:272-297``) with per-refit communication
     independent of BOTH the observation count and the iteration count —
-    36 to 961 doubles total.  Returns a replicated
+    two psums, 42 to 992 doubles total.  Returns a replicated
     :class:`~lsqrrecipes_tpu.linalg.lm.LMResult`.
+    """
+    mesh = mesh if mesh is not None else default_mesh(("data",))
+    n = jax.tree_util.tree_leaves(data)[0].shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    run = build_sharded_us_feature_lm(
+        kind, x0, config=config, mesh=mesh, data_axis=data_axis,
+        data_tree=data,
+    )
+    return run(data, mask)
+
+
+def build_sharded_us_feature_lm(
+    kind,
+    x0,
+    config=None,
+    mesh: Optional[Mesh] = None,
+    data_axis: str = "data",
+    data_tree=None,
+):
+    """Compile-once builder behind :func:`sharded_us_feature_lm`.
+
+    Returns the jitted ``(data, mask) -> LMResult`` step (lowerable via
+    ``.lower(...)`` — the collective-audit test inspects its HLO).
+    ``data_tree``: a pytree with the data's structure (the actual arrays
+    work) used to build the input sharding specs.
     """
     from lsqrrecipes_tpu.linalg import stats_lm
     from lsqrrecipes_tpu.linalg.lm import LMConfig, LMResult
@@ -252,25 +280,33 @@ def sharded_us_feature_lm(
     if config is None:
         config = LMConfig()
     mesh = mesh if mesh is not None else default_mesh(("data",))
-    n = jax.tree_util.tree_leaves(data)[0].shape[0]
-    if mask is None:
-        mask = jnp.ones((n,), bool)
     w_fn, _, feats_fn, const_idx = stats_lm._OBJECTIVES[kind]
 
     def step(data_blk, mask_blk):
         h = feats_fn(data_blk)
         wts = mask_blk.astype(h.dtype)
-        g_raw = jnp.einsum("ni,nj,n->ij", h, h, wts)
-        g_raw = jax.lax.psum(g_raw, data_axis)
-        w_fn_c, gram = stats_lm.centered_from_gram(w_fn, g_raw, const_idx)
+        # Global mask-weighted feature mean: the constant feature is 1, so
+        # the weight total is the psummed sum's const entry — one [F] psum.
+        s = jax.lax.psum(wts @ h, data_axis)
+        m = s / jnp.maximum(s[const_idx], 1.0)
+        m = m.at[const_idx].set(0.0)
+        hc = h - m[None, :] * h[:, const_idx:const_idx + 1]
+        gram = jax.lax.psum(
+            jnp.einsum("ni,nj,n->ij", hc, hc, wts), data_axis
+        )
+
+        def w_fn_c(x):
+            w = w_fn(x)
+            return w.at[:, const_idx].add(w @ m)
+
         return stats_lm.feature_lm(w_fn_c, gram, x0, config)
 
     in_specs = (
-        jax.tree_util.tree_map(lambda _: P(data_axis), data),
+        jax.tree_util.tree_map(lambda _: P(data_axis), data_tree),
         P(data_axis),
     )
     mapped = shard_map(
         step, mesh=mesh, in_specs=in_specs,
         out_specs=jax.tree_util.tree_map(lambda _: P(), LMResult(0, 0, 0, 0)),
     )
-    return jax.jit(mapped)(data, mask)
+    return jax.jit(mapped)

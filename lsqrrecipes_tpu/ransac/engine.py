@@ -331,6 +331,12 @@ def ransac_adaptive(
     else the gather-free structured sweep — so adaptive mode keeps the
     fixed-budget mode's per-round throughput; ``"gather"`` forces the
     faithful ``[B, k]``-gather rounds (the parity path).
+
+    Documented deviation (README "Documented deviations"): under ``"auto"``
+    the hypotheses within one round share a single data permutation, so the
+    ``num_tries`` budget's independent-draw assumption holds only
+    approximately per round; pass ``path="gather"`` for the reference's
+    exact adaptive semantics.
     """
     n = _data_size(data)
     if n < est.k:

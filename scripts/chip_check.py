@@ -537,12 +537,21 @@ def check_lm_stats(b=64, n=64):
     (frames, q, p), _, true = make_pointer_data(jax.random.PRNGKey(9), n=n)
     data = (frames, q, p)
     est = PointerUSCalibrationEstimator(delta=3.0)
-    masks = jnp.stack(
-        [jnp.arange(n) % max(2, i % 7) != 0 for i in range(b)]
-    ) | (jnp.arange(n)[None, :] < est.k)
+    # Mix strided masks with spatially-OFFSET block masks (consensus sets
+    # whose feature mean sits far from the global mean) — the case where
+    # the batched stats-LM's per-problem centering has to earn its keep
+    # (see stats_lm.us_feature_lm_batched stage-2 congruence).
+    strided = [jnp.arange(n) % max(2, i % 7) != 0 for i in range(b // 2)]
+    blocks = [
+        jnp.roll(jnp.arange(n) < (n // 2 + (i % 8)), (i * n) // (b // 2))
+        for i in range(b - b // 2)
+    ]
+    masks = jnp.stack(strided + blocks) | (jnp.arange(n)[None, :] < est.k)
     config = LMConfig(max_iters=50, ftol=0.0, xtol=0.0, gtol=1e-9)
 
-    params_chip, valid_chip = est.lsq_fit_stats_batched(data, masks)
+    params_chip, valid_chip = est.lsq_fit_stats_batched(
+        data, masks, config=config
+    )
     params_chip = np.asarray(jax.device_get(params_chip))
 
     cpu = jax.devices("cpu")[0]
@@ -551,7 +560,7 @@ def check_lm_stats(b=64, n=64):
             lambda a: jnp.asarray(jax.device_get(a)), data
         )
         params_cpu, valid_cpu = est.lsq_fit_stats_batched(
-            data_cpu, jnp.asarray(jax.device_get(masks))
+            data_cpu, jnp.asarray(jax.device_get(masks)), config=config
         )
         params_cpu = np.asarray(jax.device_get(params_cpu))
 

@@ -151,3 +151,48 @@ def test_sphere_planar_sweep_matches_engine_f64():
         pts, skey, groups, est.delta, chunk=100
     )
     np.testing.assert_array_equal(np.asarray(counts_c), np.asarray(counts))
+
+
+def test_sqrt_free_band_vote_equals_literal_agree():
+    """The squared-band vote ((max(r-d,0))^2 < d2 < (r+d)^2) counts exactly
+    the literal |sqrt(d2) - r| < delta oracle, including the edge cases the
+    algebra must respect: r < delta (lower band edge vanishes), r == delta
+    (a point AT the center has |0 - r| == delta and must NOT vote), and
+    points sitting numerically on the band."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+
+    est = SphereEstimator(delta=1.0, dim=3, ls_type=ALGEBRAIC)
+
+    # Hand-built hypotheses: generic, tiny-radius (r < delta), r == delta.
+    params = jnp.asarray(
+        [
+            [5.0, -2.0, 11.0, 25.0],
+            [0.0, 0.0, 0.0, 0.25],     # r < delta: no lower edge
+            [0.0, 0.0, 0.0, 1.0],      # r == delta: needs dist > 0 strictly
+        ]
+    )
+    key = jax.random.PRNGKey(7)
+    pts = jax.random.uniform(key, (257, 3), minval=-40.0, maxval=40.0)
+    # Adversarial rows: the exact center (dist == 0), and points at radial
+    # distances r, r±delta, r±delta/2 from each hypothesis center.
+    extra = [jnp.zeros((1, 3))]
+    for c0, c1, c2, r in np.asarray(params):
+        for rad in (r, r - 1.0, r + 1.0, r - 0.5, r + 0.5):
+            if rad <= 0:
+                continue
+            extra.append(jnp.asarray([[c0 + rad, c1, c2]]))
+    pts = jnp.concatenate([pts] + extra)
+    assert pts.dtype == jnp.float64
+
+    counts_sq = est.vote_counts(params, pts)
+    counts_lit = jnp.sum(jax.vmap(lambda p: est.agree(p, pts))(params), -1)
+    np.testing.assert_array_equal(np.asarray(counts_sq),
+                                  np.asarray(counts_lit))
+
+    # A point exactly at the center of the r == delta hypothesis must not
+    # vote for it (strict lower edge) but must vote for r < delta.
+    at_center = jnp.zeros((1, 3))
+    one = est.vote_counts(params, at_center)
+    np.testing.assert_array_equal(np.asarray(one), [0, 1, 0])
