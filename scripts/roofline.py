@@ -1,28 +1,31 @@
 """Empirical roofline / utilization for the fused families (real chip).
 
-Converts the bench matrix's vs-C++ ratios into absolute hardware-utilization
-statements (VERDICT r3 item 3).  Two empirical peaks are measured on THIS
-chip through the tunnel (no spec-sheet numbers):
+Converts measured family rates into absolute hardware-utilization
+statements, with BOTH an analytic flop model and a TRACE-measured column
+per family (VERDICT r4 item 1): the model predicts padded FLOP/s from the
+kernel's band-vote structure; the trace column computes the same padded
+FLOP/s from the kernel custom-call duration recorded in
+``docs/FAMILY_PERF.json`` (scripts/family_perf.py).  If the two columns
+disagree beyond ~15%, the model constants are wrong — the table prints the
+ratio so any drift is visible, not asserted away.
 
-  * MXU peak: sustained bf16 matmul FLOP/s at K=2048 (dense, square);
-  * VPU peak: sustained f32 FMA FLOP/s on an (8,128)-tiled elementwise
-    chain (the shape all fit/epilogue arithmetic lowers to).
+Flop model of a fused band-vote kernel (ops/fused_sweep.py):
 
-Then, for each fused family, the measured hypotheses/s (docs/BENCH_ALL.json
-or a fresh --measure run) is converted to achieved FLOP/s with an analytic
-flop model of the kernel:
+  * vote (MXU): each of ``dots`` band tests per (point, hypothesis) is a
+    ``[K_p, n] x [K_p, B]`` contraction executed ``passes`` times (1 for
+    DEFAULT-precision families, 3 for the bf16-split ``_dot_f32x3``).
+    USEFUL flops/hyp = 2 * K_p * dots * passes * n; the systolic array
+    always runs a 128-deep contraction, so EXECUTED (padded) flops/hyp =
+    2 * 128 * dots * passes * n_pad.
+  * fit (VPU): closed-form lane arithmetic per hypothesis — small next to
+    the vote everywhere (see the kernel fraction in FAMILY_PERF.json).
 
-  * vote (MXU): the affine band test is a ``[K_f, n] x [K_f, B]``
-    contraction — 2 * K_f * passes flops per (point, hypothesis) of USEFUL
-    work, but the MXU always runs a 128-deep contraction, so the hardware
-    executes 2 * 128 * passes ("padded" flops).  passes = 1 for the
-    DEFAULT-precision families (sphere/plane/line), 3 for the bf16-split
-    f32x3 families (pivot/dense/crosswire/pointer/absor/ray).
-  * fit (VPU): closed-form lane arithmetic per hypothesis.
-
-The padded-utilization column is the honest "how much of the systolic
-array is busy" number; useful/padded = K_f/128 is the intrinsic headroom
-bound of the band-vote design (feature count, not a tunable).
+MXU peak microbench: chained dependent [k, k] bf16 matmuls.  The round-4
+version ran ONLY k=4096, whose 33.5 MB operands cannot stay VMEM-resident
+(16 MB) — the chain streamed HBM every step and measured below the
+flagship kernel's own sustained rate.  Now k in {1024, 2048, 4096} with
+VMEM-resident sizes included; the best sustained rate is the empirical
+peak and the v5e datasheet 197 TFLOP/s is printed alongside for scale.
 
 Usage:  nohup python scripts/roofline.py > /tmp/roofline.log 2>&1 &
 """
@@ -40,17 +43,26 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# metric -> (label, K_f band rows per dot, dots per point, bf16 passes per
-# dot, n observations, fit flops/hyp [VPU]).  Read off the fit_vote
-# closures in ops/fused_sweep.py: sphere votes ONE DEFAULT-precision dot
-# (1 bf16 pass); the tracker-magnitude families vote 1-3 dots through the
-# 3-pass bf16-split product (_dot_f32x3).
+# family -> (label, K_p vote feature rows per dot, dots per point, bf16
+# passes per dot, fit flops/hyp [VPU]).  K_p/dots/passes read off the
+# fit_vote closures + P-row builders in ops/fused_sweep.py (asserted
+# against the builders in tests/test_roofline_model.py):
+#   sphere3d/plane3d: [5, n] rows, 1 DEFAULT dot; line2d: [4, n];
+#   line3d: [5, n] x 2 dots x 3 passes; pivot: [17, n] x 3 x 3;
+#   absolute_orientation: [8, n] x 3 x 3; ray3d: [10, n] x 3 x 3;
+#   dense_linear6: [9, n] x 1 x 3; crosswire: [16, n] x 3 x 3;
+#   pointer: [7, n] x 3 x 3.
 FAMILIES = {
-    "ransac": ("sphere3d fused sweep", 5, 1, 1, 1024, 90),
-    "pivot": ("pivot fused family", 17, 3, 3, 1024, 260),
-    "dense": ("dense6 fused family", 9, 1, 3, 1024, 700),
-    "us": ("crosswire fused family", 16, 3, 3, 1024, 2200),
-    "pointer": ("pointer fused family", 7, 3, 3, 1024, 1500),
+    "sphere3d": ("3D sphere", 5, 1, 1, 90),
+    "plane3d": ("3D plane", 5, 1, 1, 60),
+    "line2d": ("2D line", 4, 1, 1, 30),
+    "line3d": ("3D line", 5, 2, 3, 40),
+    "pivot": ("pivot calibration", 17, 3, 3, 260),
+    "absolute_orientation": ("absolute orientation", 8, 3, 3, 180),
+    "ray3d": ("ray intersection", 10, 3, 3, 120),
+    "dense_linear6": ("dense linear (6 unknowns)", 9, 1, 3, 700),
+    "crosswire": ("crosswire US calibration", 16, 3, 3, 2200),
+    "pointer": ("pointer US calibration", 7, 3, 3, 1500),
 }
 
 # LM entries: (description, flops per reported iteration) — VPU-bound.
@@ -60,11 +72,14 @@ LM = {
                    + 8 * 8 * 8 // 3 + 400),
 }
 
+V5E_BF16_PEAK = 197e12
 
-def measure_mxu_peak(k=4096, reps=16):
+
+def measure_mxu_peak(k, flop_target=4e12):
     """Sustained bf16 matmul rate: a chain of dependent [k, k] products
     (c <- c @ b with b a perturbed identity, so nothing folds away and
-    values stay bounded)."""
+    values stay bounded).  reps sized so one dispatch runs ~tens of ms."""
+    reps = max(16, int(flop_target / (2.0 * k ** 3)))
     key = jax.random.PRNGKey(0)
     a = jax.random.normal(key, (k, k), jnp.float32).astype(jnp.bfloat16)
     b = (jnp.eye(k, dtype=jnp.float32)
@@ -113,67 +128,78 @@ def measure_vpu_peak(rows=512, cols=8192, chain=64, reps=8):
     return 2.0 * chain * rows * cols / best
 
 
-# TPU v5e datasheet bf16 peak (public): 197 TFLOP/s per chip.  The peak
-# microbenches through the tunnel under-report badly (a chained-matmul
-# "peak" measured BELOW the flagship kernel's own sustained padded rate,
-# which is impossible), so the datasheet number is the denominator and the
-# measured chain is reported as a sanity lower bound.
-V5E_BF16_PEAK = 197e12
+def padded_flops_per_hyp(kf, dots, passes, n):
+    n_pad = -(-n // 128) * 128
+    return 2.0 * 128 * dots * passes * n_pad, n_pad
 
 
 def main():
     print("devices:", jax.devices(), flush=True)
-    mxu_chain = measure_mxu_peak()
+    peaks = {}
+    for k in (1024, 2048, 4096):
+        peaks[k] = measure_mxu_peak(k)
+        print(f"  chained bf16 matmul k={k}: {peaks[k] / 1e12:7.1f} TFLOP/s",
+              flush=True)
+    mxu_peak = max(peaks.values())
     vpu_chain = measure_vpu_peak()
-    print("\nmeasured sustained rates through the tunnel (lower bounds —")
-    print("tunnel/HBM effects bite; the utilization denominator is the")
-    print(f"datasheet peak {V5E_BF16_PEAK / 1e12:.0f} TFLOP/s bf16):")
-    print(f"  chained bf16 matmul : {mxu_chain / 1e12:8.1f} TFLOP/s")
-    print(f"  f32 FMA chain       : {vpu_chain / 1e12:8.2f} TFLOP/s\n",
+    print(f"  empirical MXU peak (best k): {mxu_peak / 1e12:.1f} TFLOP/s "
+          f"(datasheet bf16: {V5E_BF16_PEAK / 1e12:.0f} T)")
+    print(f"  f32 FMA chain (VPU): {vpu_chain / 1e12:.2f} TFLOP/s\n",
           flush=True)
 
-    with open(os.path.join(REPO, "docs", "BENCH_ALL.json")) as f:
-        bench = json.load(f)["results"]
+    with open(os.path.join(REPO, "docs", "FAMILY_PERF.json")) as f:
+        fam_perf = json.load(f)["families"]
 
-    print("| family | rate | useful MXU | executed (padded) MXU |"
-          " % of 197T peak | fit VPU | binding |")
-    print("|---|---|---|---|---|---|---|")
-    for key, (label, kf, dots, passes, n, fit_flops) in FAMILIES.items():
-        res = bench.get(key)
-        if not res or "error" in res:
-            print(f"| {label} | MISSING | | | | | |")
+    print("| family | wall rate | kernel% | model padded | trace padded |"
+          " trace/model | trace %peak | useful |")
+    print("|---|---|---|---|---|---|---|---|")
+    for key, (label, kf, dots, passes, fit_flops) in FAMILIES.items():
+        row = fam_perf.get(key)
+        if not row or "error" in row:
+            print(f"| {label} | MISSING | | | | | | |")
             continue
-        rate = res["value"]
-        useful = rate * 2.0 * kf * dots * passes * n
-        padded = rate * 2.0 * 128 * dots * passes * n
-        fit = rate * fit_flops
-        pct_mxu = 100.0 * padded / V5E_BF16_PEAK
+        pf, n_pad = padded_flops_per_hyp(kf, dots, passes, row["n"])
+        uf = 2.0 * kf * dots * passes * row["n"]
+        model = row["hyp_per_s"] * pf
+        trace = (row["kernel_hyp_per_s"] or 0) * pf
+        ratio = trace / model if model else float("nan")
+        pct = 100.0 * trace / mxu_peak
         print(
-            f"| {label} | {rate / 1e6:.1f}M hyp/s | {useful / 1e12:.2f} T |"
-            f" {padded / 1e12:.1f} T | {pct_mxu:.0f}% | {fit / 1e9:.1f} G |"
-            f" MXU issue (K={kf}/128 pad) |",
+            f"| {label} | {row['hyp_per_s'] / 1e6:.1f}M hyp/s |"
+            f" {100 * row['kernel_frac_of_device']:.0f}% |"
+            f" {model / 1e12:.1f} T | {trace / 1e12:.1f} T |"
+            f" {ratio:.2f} | {pct:.0f}% | {uf / pf * 100:.0f}% |",
             flush=True,
         )
+
+    bench_path = os.path.join(REPO, "docs", "BENCH_ALL.json")
+    with open(bench_path) as f:
+        bench = json.load(f)["results"]
     for key, (label, it_flops) in LM.items():
         res = bench.get(key)
         if not res or "error" in res:
-            print(f"| {label} | MISSING | | | | | |")
+            print(f"| {label} | MISSING | | | | | | |")
             continue
         rate = res["value"]
         fl = rate * it_flops
         print(
-            f"| {label} | {rate / 1e6:.1f}M iter/s | — | — | — |"
-            f" {fl / 1e9:.1f} G | VPU lane arithmetic |",
+            f"| {label} | {rate / 1e6:.1f}M iter/s | — | — | — | — |"
+            f" — | {fl / 1e9:.1f}G VPU |",
             flush=True,
         )
+
     print(
-        "\nuseful/padded = K_f/128: the band-vote design feeds a 128-deep\n"
-        "systolic contraction with K_f feature rows; the executed (padded)\n"
-        "column is what the hardware issues and is the number to compare\n"
-        "against the MXU peak.  The families landing at a consistent\n"
-        "~70-90% of the datasheet peak means the vote kernels are\n"
-        "MXU-issue-bound: the remaining headroom is the intrinsic K_f/128\n"
-        "useful fraction (feature count), not kernel inefficiency.",
+        "\nColumns: 'model padded' = wall hyp/s x 2*128*dots*passes*n_pad\n"
+        "(what the 128-deep systolic contraction executes if the kernel is\n"
+        "all vote); 'trace padded' = the same flops over the kernel\n"
+        "custom-call time from the xplane trace (pure in-kernel rate);\n"
+        "trace/model > 1 means non-kernel overhead in the wall rate,\n"
+        "trace/model far from 1 with kernel% ~100 means the flop model is\n"
+        "wrong.  'trace %peak' compares in-kernel padded FLOP/s to the\n"
+        "empirical MXU peak above; 'useful' = K_p/128 x n/n_pad is the\n"
+        "intrinsic fraction of executed flops doing estimator work\n"
+        "(feature count vs contraction depth — a design property, not\n"
+        "kernel inefficiency).",
         flush=True,
     )
 
