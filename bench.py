@@ -266,7 +266,7 @@ def bench_us(args):
     data = (Frame(r2, t2), q)
 
     est = CrosswireUSCalibrationEstimator(delta=3.0)
-    reps = 4
+    reps = 12  # amortize the ~25 ms tunnel RTT (distinct keys per sweep)
     if args.path == "fused_sweep":
         from lsqrrecipes_tpu.ops import fused_sweep as fs
 
@@ -373,7 +373,7 @@ def bench_pointer(args):
     data = (Frame(r2, t2), q, p)
 
     est = PointerUSCalibrationEstimator(delta=3.0)
-    reps = 4
+    reps = 12  # amortize the ~25 ms tunnel RTT (distinct keys per sweep)
     if args.path == "fused_sweep":
         from lsqrrecipes_tpu.ops import fused_sweep as fs
 
@@ -479,7 +479,10 @@ def bench_phantom(args):
     est = PlanePhantomUSCalibrationEstimator(delta=1.0)
     groups = max(1, min(args.hypotheses // n, 512))
     hyp_per_sweep = groups * n
-    reps = 4
+    # 12 sweeps per scan: at ~12 ms device time per sweep the ~25 ms tunnel
+    # round-trip was 1/3 of a reps=4 wall measurement; every sweep still
+    # sees a distinct key (nothing memoizes).
+    reps = 12
 
     @jax.jit
     def sweeps(seed0):

@@ -47,6 +47,46 @@ def solve3(a, b):
     return jnp.stack([x0, x1, x2], axis=-1), det
 
 
+def cholesky_solve_lanes(a, b, n: int):
+    """Unrolled Cholesky solve in LANES form: ``a[i][j]`` and ``b[i]`` are
+    lists of ``[...]``-shaped (typically ``[B]``) arrays.
+
+    Same arithmetic as :func:`cholesky_solve_unrolled`, but the n x n
+    structure lives in Python lists instead of trailing array dims — a
+    ``[B, 4, 4]`` f64 array tiles its last two dims to (8, 128) on TPU
+    (~85x padding) and every slice/transpose of it is a relayout; lists of
+    ``[B]`` vectors stay dense.  Returns ``(x_list, min_pivot)``."""
+    dtype = b[0].dtype
+    tiny = jnp.finfo(dtype).tiny
+    l = [[None] * n for _ in range(n)]
+    min_pivot = None
+    for j in range(n):
+        s = a[j][j]
+        for k in range(j):
+            s = s - l[j][k] * l[j][k]
+        min_pivot = s if min_pivot is None else jnp.minimum(min_pivot, s)
+        ljj = jnp.sqrt(jnp.maximum(s, tiny))
+        l[j][j] = ljj
+        for i in range(j + 1, n):
+            t = a[i][j]
+            for k in range(j):
+                t = t - l[i][k] * l[j][k]
+            l[i][j] = t / ljj
+    y = [None] * n
+    for i in range(n):
+        t = b[i]
+        for k in range(i):
+            t = t - l[i][k] * y[k]
+        y[i] = t / l[i][i]
+    x = [None] * n
+    for i in reversed(range(n)):
+        t = y[i]
+        for k in range(i + 1, n):
+            t = t - l[k][i] * x[k]
+        x[i] = t / l[i][i]
+    return x, min_pivot
+
+
 def cholesky_solve_unrolled(a, b, n: int):
     """Unrolled Cholesky solve of SPD ``a[..., n, n] x = b[..., n]``.
 

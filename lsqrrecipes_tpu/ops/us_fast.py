@@ -265,6 +265,92 @@ _PHANTOM_FLT_EPS = 1.192092896e-07
 # parity/fallback path — both feed the same f64 Rayleigh-Ritz tail).
 _USE_QR_KERNEL = True
 
+# Ritz projection W = A V in double-single (pair-of-f32) arithmetic instead
+# of emulated f64: True = _ds_project (native-f32 Dekker-split exact
+# products + TwoSum accumulation, f64 kept only for the [q, q, B] Ritz
+# matrix), False = the plain f64 broadcast-reduce.  Chip traces put the f64
+# projection at ~24% of the sweep (docs/PHANTOM_STAGES); the DS form does
+# the O(q * 31 * 31 * B) work in native f32.  Parity: tests/test_us_
+# calibration.py pins DS-vs-f64 on CPU (real f64), scripts/chip_check.py
+# (us_plane_phantom) and scripts/verify_phantom_chip.py gate the chip.
+_USE_DS_RITZ = True
+
+
+def _ds_project(a_pl, a32, v_pl, dt):
+    """``W = A V`` with A double-single, exact products, compensated sums.
+
+    ``a_pl [31, 31, B]`` f64, ``a32`` its f32 rounding, ``v_pl [q, 31, B]``
+    f32 (exact).  Returns the PAIR ``(s, e)`` of f32 streams with
+    ``W ~= s + e`` (callers needing one array take ``s.astype(dt) +
+    e.astype(dt)``; :func:`_ds_gram` consumes the pair directly).
+
+    Error budget (why pair-f32 is enough here): per-term products are EXACT
+    (12-bit Dekker splits of a32 and v; the residue ``a_err = A - a32`` is
+    ~2^-24 ||A|| so its plain-f32 product rounding is ~2^-48 ||A||); the
+    dominant-partial accumulation runs TwoSum with the compensation stream
+    absorbing the small partials, leaving |W - A V| ~ 2^-31 ||A|| * 31 —
+    ~1e-3 RELATIVE to the near-null columns ||A v|| ~ sigma_31.  The Ritz
+    matrix S = W^T W (computed in f64 from the recombined pairs) then
+    carries sigma_31^2 / sigma_30^2 to ~1e-3 — resolving their 1e-4 ratio
+    and leaving the null-direction rotation at ~(sigma_31/sigma_30) * 1e-3
+    ~ 1e-7 rad (votes flip at ~1e-2, the f64 path measured 1.1e-5)."""
+    f32 = jnp.float32
+    a_err = (a_pl - a32.astype(dt)).astype(f32)          # [31, 31, B]
+
+    split = f32(4097.0)                                  # 2^12 + 1
+
+    def dekker(x):
+        t = x * split
+        hi = t - (t - x)
+        return hi, x - hi
+
+    ah, al = dekker(a32)
+    vh, vl = dekker(v_pl)
+
+    q, _, bsz = v_pl.shape
+    s = jnp.zeros((q, 31, bsz), f32)
+    e = jnp.zeros((q, 31, bsz), f32)
+    for c in range(31):
+        # term[q, row, B] = a[row, c] * v[q, c]; broadcast col slice.
+        ahc, alc = ah[:, c][None], al[:, c][None]        # [1, 31, B]
+        aec = a_err[:, c][None]
+        vhc, vlc = vh[:, c, None], vl[:, c, None]        # [q, 1, B]
+        vc = v_pl[:, c, None]
+        p1 = ahc * vhc                                   # exact (12x12 bit)
+        p_err = (ahc * vlc + alc * vhc) + alc * vlc + aec * vc
+        # TwoSum(s, p1): exact sum + rounding term into the e stream.
+        t = s + p1
+        bp = t - s
+        err = (s - (t - bp)) + (p1 - bp)
+        s = t
+        e = e + (err + p_err)
+    # Compress the pair: s holds only the hi*vh partial sum, so for
+    # near-null columns s and e cancel against each other (both ~2^-12
+    # ||A|| while w ~ sigma_31).  One TwoSum renormalizes to |lo| <=
+    # 2^-23 |hi|, which is what lets _ds_gram drop the lo*lo' term.
+    hi = s + e
+    bp = hi - s
+    lo = (s - (hi - bp)) + (e - bp)
+    return hi, lo
+
+
+def _ds_gram(w_s, w_e, dt):
+    """Ritz matrix ``S = W^T W`` from the pair streams, native f32.
+
+    S's entries carry NO catastrophic cancellation (W's columns are the
+    already-cancelled outputs) and the pair arrives COMPRESSED
+    (|lo| <= 2^-23 |hi|, see _ds_project), so ``S = sum_r hi hi' +
+    (hi lo' + lo hi')`` is per-entry relative-accurate to ~31 * 2^-24 and
+    the dropped lo lo' term is ~2^-46 relative (pinned by the eigenvalue
+    check in tests/test_us_calibration.py).  The 4x4 SOLVES stay f64 —
+    their condition (sigma_28^2 / sigma_31^2 ~ 1e9) is beyond f32
+    Cholesky — but they are O(q^2 B), not O(q^2 31 B)."""
+    ss = jnp.sum(w_s[:, None] * w_s[None, :], axis=2)
+    cross = jnp.sum(
+        w_s[:, None] * w_e[None, :] + w_e[:, None] * w_s[None, :], axis=2
+    )
+    return (ss + cross).astype(dt)
+
 
 
 
@@ -304,7 +390,6 @@ def _plane_phantom_fit_slots(slot_pl, k: int):
     # are all latency- and layout-bound (31/35/2-10 ms at B=2048), and a
     # fully unrolled scalar form takes minutes of XLA compile.
     from lsqrrecipes_tpu.linalg.small import (
-        cholesky_solve_unrolled,
         qr_r_planar,
         solve_rt_r_planar,
     )
@@ -388,7 +473,7 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     (``PlanePhantom...cxx:204-355``)."""
     import numpy as _np
 
-    from lsqrrecipes_tpu.linalg.small import cholesky_solve_unrolled
+    from lsqrrecipes_tpu.linalg.small import cholesky_solve_lanes
 
     f32 = jnp.float32
     bsz = a_pl.shape[-1]
@@ -400,29 +485,43 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     # Ritz pair by 4x4 shifted inverse iteration with the unrolled lanes
     # Cholesky (a 4x4 Jacobi sweep chain compiled ~12 s; this is ~200 ops).
     v64_pl = v_pl.astype(dt)                            # [q, 31, B]
-    w_pl = jnp.sum(
-        a_pl[None, :, :, :] * v64_pl[:, None, :, :], axis=2
-    )                                                   # [q, 31, B]
-    s_pl = jnp.sum(w_pl[:, None, :, :] * w_pl[None, :, :, :], axis=2)
-    s_mat = jnp.transpose(s_pl, (2, 0, 1))              # [B, q, q]
+    if _USE_DS_RITZ and dt == jnp.float64:
+        w_s, w_e = _ds_project(a_pl, a32, v_pl, dt)     # pair [q, 31, B]
+        s_pl = _ds_gram(w_s, w_e, dt)                   # [q, q, B]
+    else:
+        w_pl = jnp.sum(
+            a_pl[None, :, :, :] * v64_pl[:, None, :, :], axis=2
+        )
+        s_pl = jnp.sum(w_pl[:, None, :, :] * w_pl[None, :, :, :], axis=2)
+    # All 4x4 work in LANES-LIST form: a [B, 4, 4] f64 array tiles its
+    # trailing dims to (8, 128) (~85x padding) and [B, 4] vectors pad
+    # their 4 lanes to 128 — the measured cost of this stage was layout,
+    # not arithmetic (docs/PHANTOM_STAGES.json).  s_pl[i, j] slices are
+    # [B] vectors; every op below is dense [B] arithmetic.
     tiny = jnp.finfo(dt).tiny
     trace = s_pl[0, 0] + s_pl[1, 1] + s_pl[2, 2] + s_pl[3, 3]
     shift = 100.0 * jnp.finfo(dt).eps * trace + tiny
-    s_sh = s_mat + shift[:, None, None] * jnp.eye(q, dtype=dt)
+    s_ll = [
+        [s_pl[i, j] + jnp.where(i == j, shift, 0.0) for j in range(q)]
+        for i in range(q)
+    ]
 
-    def _unit(c):
-        return c / jnp.maximum(
-            jnp.linalg.norm(c, axis=-1, keepdims=True), tiny
-        )
+    def _unit_l(c):
+        nrm = jnp.sqrt(sum(ci * ci for ci in c))
+        inv = 1.0 / jnp.maximum(nrm, tiny)
+        return [ci * inv for ci in c]
+
+    zeros_b = jnp.zeros((bsz,), dt)
+    ones_b = jnp.ones((bsz,), dt)
 
     # Smallest Ritz vector: the first subspace vector is the f32 null
     # estimate, so e_0 always has O(1) overlap; two inverse-iteration steps
     # (ratio ~ sigma_31^2 / sigma_30^2 ~ 1e-4 per step) polish it to f64.
-    c = jnp.zeros((bsz, q), dt).at[:, 0].set(1.0)
+    c = [ones_b] + [zeros_b] * (q - 1)
     for _ in range(2):
-        c, _ = cholesky_solve_unrolled(s_sh, c, q)
-        c = _unit(c)
-    x_pl = jnp.sum(v64_pl * jnp.moveaxis(c, 0, -1)[:, None, :], axis=0)
+        c, _ = cholesky_solve_lanes(s_ll, c, q)
+        c = _unit_l(c)
+    x_pl = sum(c[j][None, :] * v64_pl[j] for j in range(q))  # [31, B]
     x = x_pl.T                                          # [B, 31]
     x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), tiny)
 
@@ -431,12 +530,16 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     # value (a Rayleigh quotient orthogonal to the first — an over-estimate,
     # so never laxer than the reference), sigma_0^2 by two power-iteration
     # steps in planar f32 (the gate threshold needs ~1e-3, not f64).
-    y = jnp.zeros((bsz, q), dt).at[:, 1].set(1.0)
-    y = _unit(y - jnp.sum(c * y, axis=-1, keepdims=True) * c)
+    def _deflate(y):
+        d = sum(ci * yi for ci, yi in zip(c, y))
+        return _unit_l([yi - d * ci for ci, yi in zip(c, y)])
+
+    y = _deflate([zeros_b, ones_b] + [zeros_b] * (q - 2))
     for _ in range(2):
-        y, _ = cholesky_solve_unrolled(s_sh, y, q)
-        y = _unit(y - jnp.sum(c * y, axis=-1, keepdims=True) * c)
-    lam1 = jnp.sum(y * jnp.einsum("bij,bj->bi", s_mat, y), axis=-1)
+        y, _ = cholesky_solve_lanes(s_ll, y, q)
+        y = _deflate(y)
+    sy = [sum(s_pl[i, j] * y[j] for j in range(q)) for i in range(q)]
+    lam1 = sum(y[i] * sy[i] for i in range(q))
 
     pv = jnp.full((31, bsz), _np.float32(1.0 / _np.sqrt(31.0)), f32)
 

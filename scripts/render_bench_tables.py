@@ -32,6 +32,54 @@ def fmt(v):
     return f"{v:.1f}"
 
 
+FAMILY_FIT = {
+    "sphere3d": ("3D sphere", "Cramer circumsphere"),
+    "plane3d": ("3D plane", "cross product + rsqrt"),
+    "line2d": ("2D line", "perpendicular"),
+    "line3d": ("3D line", "two-point direction (2-product vote)"),
+    "ray3d": ("ray intersection", "Graphics-Gems midpoint, t>=0 gates"),
+    "absolute_orientation": (
+        "absolute orientation", "orthonormal-frame R2 R1^T"
+    ),
+    "pivot": ("pivot calibration", "3x3 Schur reduction of the 9x6 system"),
+    "dense_linear6": (
+        "dense linear system (6 unknowns)",
+        "unrolled 6x6 normal-equation Cholesky",
+    ),
+    "crosswire": (
+        "crosswire US calibration",
+        "lanes-form 9x9 f32 Householder QR + Newton-polar",
+    ),
+    "pointer": (
+        "pointer US calibration",
+        "lanes-form 9x9 f32 Householder QR + Newton-polar",
+    ),
+}
+
+
+def render_family_table():
+    with open(os.path.join(REPO, "docs", "FAMILY_PERF.json")) as f:
+        payload = json.load(f)
+    fams = payload["families"]
+    print(f"\nFused families, measured {payload['date']} "
+          f"(docs/FAMILY_PERF.json; wall = jitted 4-sweep scan incl. the\n"
+          f"amortized ~25 ms tunnel round-trip, in-kernel = Pallas "
+          f"custom-call time from the xplane trace):\n")
+    print("| family | minimal fit in-kernel | n | wall hyp/s | in-kernel "
+          "hyp/s | kernel % of device |")
+    print("|---|---|---|---|---|---|")
+    for key, (label, fit) in FAMILY_FIT.items():
+        row = fams.get(key)
+        if row is None or "error" in row:
+            print(f"| {label} | {fit} | — | (MISSING) | — | — |")
+            continue
+        print(
+            f"| {label} | {fit} | {row['n']} | {fmt(row['hyp_per_s'])} |"
+            f" {fmt(row['kernel_hyp_per_s'])} |"
+            f" {100 * row['kernel_frac_of_device']:.0f}% |"
+        )
+
+
 def main():
     with open(os.path.join(REPO, "docs", "BENCH_ALL.json")) as f:
         payload = json.load(f)
@@ -54,6 +102,7 @@ def main():
         vs = res.get("vs_baseline")
         vs_s = f"**{vs}x**" if vs is not None else "—"
         print(f"| `--metric {key}` | {label} | {fmt(res['value'])} {unit} | {vs_s} |")
+    render_family_table()
 
 
 if __name__ == "__main__":

@@ -420,3 +420,48 @@ def test_euler_extraction_scalar_matches_lanes():
     np.testing.assert_allclose(np.asarray(wz_l), np.asarray(wz_s), atol=1e-12)
     np.testing.assert_allclose(np.asarray(wy_l), np.asarray(wy_s), atol=1e-12)
     np.testing.assert_allclose(np.asarray(wx_l), np.asarray(wx_s), atol=1e-12)
+
+
+def test_ds_ritz_projection_matches_f64():
+    """The double-single Ritz projection (``us_fast._ds_project``) matches
+    the plain-f64 ``W = A V`` on CPU (real f64) to the budget its docstring
+    claims: ~2^-35 ||A|| absolute, resolving the near-null column to well
+    under the vote-flip threshold.  Run on a synthetic spectrum shaped like
+    the phantom's (sigma_31 ~ 2e-7 sigma_0, sigma_30 ~ 1e-5 sigma_0)."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.ops.us_fast import _ds_project
+
+    rng = np.random.default_rng(0)
+    bsz = 32
+    a = rng.normal(scale=100.0, size=(31, 31, bsz))
+    u, s, vt = np.linalg.svd(np.moveaxis(a, -1, 0))
+    s[:, -1] *= 2e-7 / s[:, -1].mean() * s[:, 0].mean()
+    s[:, -2] *= 1e-5 / s[:, -2].mean() * s[:, 0].mean()
+    a = np.moveaxis(u @ (s[:, :, None] * vt), 0, -1)
+    a_pl = jnp.asarray(a)
+    assert a_pl.dtype == jnp.float64
+    a32 = a_pl.astype(jnp.float32)
+    v_pl = jnp.asarray(np.moveaxis(vt[:, -4:, :], 0, -1), jnp.float32)
+
+    from lsqrrecipes_tpu.ops.us_fast import _ds_gram
+
+    w_s, w_e = _ds_project(a_pl, a32, v_pl, jnp.float64)
+    w_ds = np.asarray(w_s.astype(jnp.float64) + w_e.astype(jnp.float64))
+    w_ref = np.asarray(
+        jnp.sum(a_pl[None] * v_pl.astype(jnp.float64)[:, None], axis=2)
+    )
+    amax = np.abs(a).max()
+    assert np.abs(w_ds - w_ref).max() < 1e-10 * amax
+    # Null column (last v is the near-null direction) to < 1e-3 relative.
+    null_err = np.abs(w_ds[3] - w_ref[3]).max()
+    assert null_err < 1e-3 * np.abs(w_ref[3]).max()
+
+    # The pair-f32 Ritz matrix resolves the smallest two eigenvalues (the
+    # sigma_31^2 / sigma_30^2 pair the rank gate and null extraction need).
+    s_ds = np.asarray(_ds_gram(w_s, w_e, jnp.float64))
+    s_ref = np.einsum("qrb,prb->qpb", w_ref, w_ref)
+    for bi in range(0, bsz, 7):
+        ev_ds = np.linalg.eigvalsh(s_ds[:, :, bi])
+        ev_ref = np.linalg.eigvalsh(s_ref[:, :, bi])
+        np.testing.assert_allclose(ev_ds, ev_ref, rtol=1e-3)
