@@ -74,6 +74,23 @@ def stage_fit(k):
     return jnp.sum(center[:, ::173]) + jnp.sum(r[::173]) + jnp.sum(valid)
 
 
+def stage_vote_einsum(k):
+    center, r, valid = fit_of(k)
+    cp = jnp.einsum("bd,nd->bn", center.T, pts,
+                    preferred_element_type=pts.dtype)
+    return jnp.sum(cp[::311, ::173]) + jnp.sum(r[::173]) + jnp.sum(valid)
+
+
+def stage_vote_d2(k):
+    center, r, valid = fit_of(k)
+    c_bt = center.T
+    cp = jnp.einsum("bd,nd->bn", c_bt, pts,
+                    preferred_element_type=pts.dtype)
+    d2 = (jnp.sum(pts * pts, axis=-1)[None, :] - 2.0 * cp
+          + jnp.sum(c_bt * c_bt, axis=-1)[:, None])
+    return jnp.sum(d2[::311, ::173]) + jnp.sum(r[::173]) + jnp.sum(valid)
+
+
 def stage_full(k):
     counts, params = pp.sphere3d_planar_sweep(pts, k, groups, 1.0)
     return jnp.max(counts) + jnp.sum(params[::517])
@@ -101,10 +118,15 @@ def timed(fn, tag):
 
 t_p = timed(stage_planes, "planes build")
 t_f = timed(stage_fit, "  + f64 Cramer fits")
-t_a = timed(stage_full, "  + exact f64 agree vote")
+t_e = timed(stage_vote_einsum, "  + f64 [B,3]@[3,n] einsum")
+t_d = timed(stage_vote_d2, "  + d2 assembly")
+t_a = timed(stage_full, "  + squared-band compares")
 print(
     f"\ndeltas: fits {1e3 * (t_f - t_p):.2f} ms, "
-    f"vote {1e3 * (t_a - t_f):.2f} ms  "
-    f"(vote cells = {groups * n} x {n} f64 sqrt/abs/cmp)",
+    f"einsum {1e3 * (t_e - t_f):.2f} ms, "
+    f"d2 {1e3 * (t_d - t_e):.2f} ms, "
+    f"band {1e3 * (t_a - t_d):.2f} ms  "
+    f"({groups * n} x {n} f64 vote cells; prefix deltas can shift "
+    f"fusion — cross-check vs the full-sweep rate)",
     flush=True,
 )

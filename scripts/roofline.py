@@ -75,22 +75,32 @@ LM = {
 V5E_BF16_PEAK = 197e12
 
 
-def measure_mxu_peak(k, flop_target=4e12):
-    """Sustained bf16 matmul rate: a chain of dependent [k, k] products
-    (c <- c @ b with b a perturbed identity, so nothing folds away and
-    values stay bounded).  reps sized so one dispatch runs ~tens of ms."""
-    reps = max(16, int(flop_target / (2.0 * k ** 3)))
+def measure_mxu_peak(k, flop_target=4e12, streams=4):
+    """Sustained bf16 matmul rate.
+
+    A single dependent chain (c <- c @ b) under-reports: each product must
+    drain before the next issues, so the measurement is latency-bound
+    (round 4 discarded its own microbench over this).  ``streams``
+    independent chains interleave so the MXU pipeline stays full; b is a
+    perturbed identity so nothing folds away and values stay bounded."""
+    reps = max(16, int(flop_target / (2.0 * streams * k ** 3)))
     key = jax.random.PRNGKey(0)
-    a = jax.random.normal(key, (k, k), jnp.float32).astype(jnp.bfloat16)
+    a = [
+        jax.random.normal(jax.random.fold_in(key, i), (k, k),
+                          jnp.float32).astype(jnp.bfloat16)
+        for i in range(streams)
+    ]
     b = (jnp.eye(k, dtype=jnp.float32)
          + 1e-4 * jax.random.normal(key, (k, k), jnp.float32)).astype(
              jnp.bfloat16)
 
     @jax.jit
     def run(scale):
-        def body(c, _):
-            return c @ b, c[0, 0]
-        _, outs = jax.lax.scan(body, a * scale, None, length=reps)
+        def body(cs, _):
+            return tuple(c @ b for c in cs), cs[0][0, 0]
+        _, outs = jax.lax.scan(
+            body, tuple(c * scale for c in a), None, length=reps
+        )
         return outs
 
     np.array(run(jnp.bfloat16(1.0)).astype(np.float32))
@@ -101,7 +111,7 @@ def measure_mxu_peak(k, flop_target=4e12):
         dt = (time.perf_counter() - t0) / reps
         assert np.all(np.isfinite(outs))
         best = dt if best is None else min(best, dt)
-    return 2.0 * k ** 3 / best
+    return 2.0 * streams * k ** 3 / best
 
 
 def measure_vpu_peak(rows=512, cols=8192, chain=64, reps=8):
