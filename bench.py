@@ -522,11 +522,18 @@ def bench_generic(args):
     the f32 redesigns.
 
     ``--path fused_sweep`` (default): the planar structured driver
-    (``ops/planar_points.sphere3d_planar_sweep``) — same f64 semantics,
-    counts bit-equal to the engine path (``tests/test_ops.py``), but lanes
-    layout instead of the (8,128)-padded ``[B, k, d]`` samples and rolls
-    instead of gathers.  ``--path scan``: the original gather-based
-    ``hypothesize_and_vote`` rounds.
+    (``ops/planar_points.sphere3d_planar_sweep``) — same f64 fits/gates,
+    lanes layout instead of the (8,128)-padded ``[B, k, d]`` samples and
+    rolls instead of gathers.  Its default band vote is the CERTIFIED
+    double-single evaluation (``--vote ds``): exact over the f64 inputs
+    except within ~2^-45 * scale of the band edge — a strictly smaller
+    boundary contract than the one the f64 engine already has vs the
+    reference's differently-associated C++ expression (chip gate:
+    ``scripts/chip_check.py --families generic_ds`` demands exact
+    ds-vs-f64 count equality on chip).  ``--vote f64`` forces the all-f64
+    vote, bit-equal to the engine path (``tests/test_ops.py``).
+    ``--path scan``: the original gather-based ``hypothesize_and_vote``
+    rounds.
 
     Same C++ denominator as the headline metric (serial circumsphere RANSAC
     with early-exit votes)."""
@@ -569,7 +576,7 @@ def bench_generic(args):
             def body(carry, i):
                 k = jax.random.fold_in(jax.random.PRNGKey(23), seed0 + i)
                 counts, _params = sphere3d_planar_sweep(
-                    pts, k, groups, est.delta
+                    pts, k, groups, est.delta, vote=args.vote
                 )
                 return carry, jnp.max(counts)
 
@@ -840,6 +847,9 @@ def main():
         "scan = per-step megakernel under lax.scan (the previous headline path)",
     )
     parser.add_argument("--dtype", default="f32", choices=["f32", "f64"])
+    parser.add_argument("--vote", default="ds", choices=["ds", "f64"],
+                        help="generic-engine band vote: certified "
+                             "double-single (default) or all-f64")
     parser.add_argument("--points", type=int, default=1024)
     parser.add_argument("--hypotheses", type=int, default=131072)
     parser.add_argument("--steps", type=int, default=100)
@@ -930,10 +940,12 @@ def main():
             )
 
     # Sound tunnel timing (see bench_lm): ONE jitted dispatch scanning over
-    # `reps` distinct-seed sweeps, outputs fetched.
+    # `reps` distinct-seed sweeps, outputs fetched.  24 sweeps/scan: the
+    # ~25 ms tunnel round-trip is ~12% of a reps=8 wall measurement at
+    # ~22 ms device time per sweep; every sweep still sees a distinct seed.
     import numpy as np
 
-    reps = 8
+    reps = 24
 
     @jax.jit
     def timed_sweeps(seed0):

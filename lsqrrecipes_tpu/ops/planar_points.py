@@ -16,11 +16,21 @@ reference's f64 semantics exactly:
     gate) evaluated as pure lane arithmetic on ``[B]`` vectors;
   * the vote is the estimator's own exact ``agree`` semantics
     (``| ||p-c|| - r | < delta``), evaluated sqrt-free as the equivalent
-    squared band ``(max(r-delta,0))^2 < d2 < (r+delta)^2`` with the
-    dominant term as one ``[B, 3] @ [3, n]`` matmul.
+    squared band ``(max(r-delta,0))^2 < d2 < (r+delta)^2`` — by default in
+    CERTIFIED double-single pair-f32 arithmetic (``_ds_vote_counts``:
+    exact split products + compensated sums; every cell decided exactly
+    over the f64 inputs except within ~2^-45 * scale of the band edge),
+    with the all-f64 evaluation retained as ``vote="f64"`` — the parity
+    oracle, bit-identical to the estimator vote path.
 
-Everything is f64: no Pallas, no precision tricks — this is the generic
-engine's throughput driver, not a redesign of its numerics.
+Fits and gates are exact f64 throughout; no Pallas.  The chip's f64 is
+emulated at ~2.9 G madd/s, which made the all-f64 vote product 77% of the
+sweep (docs/PERF.md "generic engine") — the DS vote does that work in
+native f32 without changing which points vote on any workload that does
+not place a point within ~2^-45 * scale of the band boundary (the f64
+engine itself differs from the reference's differently-associated C++
+expression at the ~2^-52 level, so this contract is smaller in measure
+than the one it inherits).
 """
 
 import functools
@@ -31,6 +41,120 @@ import jax.numpy as jnp
 from lsqrrecipes_tpu.config import SPHERE_EPS
 from lsqrrecipes_tpu.ransac.sampling import structured_shift_table
 
+_F32 = jnp.float32
+_SPLIT = 4097.0  # 2^12 + 1 (Dekker)
+
+
+def _pair_of_f64(x):
+    """Exact f64 -> (hi, lo) f32 pair: hi = fl32(x), lo = fl32(x - hi)."""
+    hi = x.astype(_F32)
+    lo = (x - hi.astype(x.dtype)).astype(_F32)
+    return hi, lo
+
+
+def _dekker(x):
+    """Exact 12-bit split of an f32: x = hi + lo, products of his exact."""
+    t = x * _F32(_SPLIT)
+    hi = t - (t - x)
+    return hi, x - hi
+
+
+def _two_sum(a, b):
+    s = a + b
+    bp = s - a
+    return s, (a - (s - bp)) + (b - bp)
+
+
+def _ds_vote_counts(points, c_bt, r, delta):
+    """Certified double-single band vote: counts [B] for |dist - r| < delta.
+
+    All per-cell arithmetic is native f32 on PAIRS (hi, lo): operands
+    split exactly from their f64 values, products made exact by 12-bit
+    Dekker splits, sums compensated by TwoSum.  Every cell is decided
+    exactly as in real arithmetic over the f64 INPUT values unless
+    |d2 - (r +- delta)^2| < ~2^-45 * scale — two orders tighter than the
+    2^-52-level divergence the f64 engine itself has vs the reference's
+    differently-associated expression (``SphereParametersEstimator.hxx:
+    255-264`` computes ||p-c|| by subtract-square-sum; the engine uses
+    p2 - 2 c.p + c2 — both round), so the boundary-tie contract is
+    unchanged in kind and smaller in measure.  Exactly-representable
+    workloads (integer coordinates) incur NO rounding anywhere and match
+    the f64 vote bit-for-bit (tests pin this).  vs the emulated-f64
+    einsum this is ~2.9 G f64-madd/s -> native-f32 VPU work.
+    """
+    dt = points.dtype
+    n = points.shape[0]
+    b = c_bt.shape[0]
+
+    ph = [None] * 3
+    pl = [None] * 3
+    phh = [None] * 3
+    phl = [None] * 3
+    for d in range(3):
+        ph[d], pl[d] = _pair_of_f64(points[:, d])        # [n]
+        phh[d], phl[d] = _dekker(ph[d])
+    ch = [None] * 3
+    cl = [None] * 3
+    chh = [None] * 3
+    chl = [None] * 3
+    for d in range(3):
+        ch[d], cl[d] = _pair_of_f64(c_bt[:, d])          # [B]
+        chh[d], chl[d] = _dekker(ch[d])
+
+    # Hypothesis-side constants in f64, then exact pair splits:
+    # a2 = c2 - hi2 and a2l = c2 - lo2 fold the band edges into the
+    # d2-expression so the comparison is against 2 c.p directly:
+    #   d2 < hi2  <=>  (p2 + c2 - hi2) < 2 c.p ... sign care -> keep
+    # the straightforward form instead: diff = p2 - 2cp + c2 - bound.
+    c2 = jnp.sum(c_bt * c_bt, axis=-1)                   # [B] f64
+    rp = r + delta
+    rm = r - delta
+    hi2 = rp * rp
+    lo2 = rm * rm
+    p2 = jnp.sum(points * points, axis=-1)               # [n] f64
+
+    # Per-hypothesis f64 combinations, split once: q_hi = c2 - hi2,
+    # q_lo = c2 - lo2 (exact f64 rounding, part of the "input values").
+    qh_hi, qh_lo = _pair_of_f64(c2 - hi2)                # [B]
+    ql_hi, ql_lo = _pair_of_f64(c2 - lo2)
+    p2h, p2l = _pair_of_f64(p2)                          # [n]
+
+    # cp pair over the 3 dims: exact products + TwoSum accumulation.
+    s = None
+    e = None
+    for d in range(3):
+        prod = ch[d][:, None] * ph[d][None, :]           # [B, n]
+        err = (
+            (chh[d][:, None] * phh[d][None, :] - prod)
+            + chh[d][:, None] * phl[d][None, :]
+            + chl[d][:, None] * phh[d][None, :]
+        ) + chl[d][:, None] * phl[d][None, :]
+        cross = ch[d][:, None] * pl[d][None, :] + cl[d][:, None] * ph[d][None, :]
+        if s is None:
+            s, e = prod, err + cross
+        else:
+            s, t = _two_sum(s, prod)
+            e = e + (t + err + cross)
+
+    # diff_hi = p2 - 2 cp + (c2 - hi2): hi parts via TwoSum, lo parts
+    # accumulated plainly (all ~2^-24 of the his).
+    m2s = -2.0 * s                                       # exact (power of 2)
+    m2e = -2.0 * e
+    u, ue = _two_sum(p2h[None, :], m2s)
+    v, ve = _two_sum(u, qh_hi[:, None])
+    diff_hi = v
+    diff_lo = ue + ve + (p2l[None, :] + m2e + qh_lo[:, None])
+    lt_hi = (diff_hi + diff_lo) < 0.0
+
+    v2, v2e = _two_sum(u, ql_hi[:, None])
+    dlo_lo = ue + v2e + (p2l[None, :] + m2e + ql_lo[:, None])
+    gt_lo = (v2 + dlo_lo) > 0.0
+    # Lower edge vanishes when r < delta; at r == delta, q_lo == c2 and
+    # the same comparison is exactly the strict d2 > 0 test.
+    gt_lo = jnp.where((rm >= 0.0)[:, None], gt_lo, True)
+
+    return jnp.sum(lt_hi & gt_lo, axis=-1).astype(jnp.int32)
+
 
 def _slot_planes(points_t, table, groups, j):
     segs = [
@@ -39,16 +163,24 @@ def _slot_planes(points_t, table, groups, j):
     return segs[0] if groups == 1 else jnp.concatenate(segs, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "chunk"))
+@functools.partial(jax.jit, static_argnames=("groups", "chunk", "vote"))
 def sphere3d_planar_sweep(points, key, groups: int, delta: float,
-                          chunk: int = 0):
+                          chunk: int = 0, vote: str = "ds"):
     """``groups * n`` structured hypotheses -> ``(counts [B], params [B, 4])``.
 
     Identical hypothesis sets to
     ``structured_samples(key, points, 4, groups)`` (same permutation, same
-    static shift table); counts are the exact f64 ``agree`` votes with
-    degenerate fits forced to -1.  ``chunk`` bounds the ``[chunk, n]`` vote
-    buffer (0 = whole batch at once).
+    static shift table); degenerate fits forced to count -1.  ``chunk``
+    bounds the ``[chunk, n]`` vote buffer (0 = whole batch at once).
+
+    ``vote``: ``"ds"`` (default) decides the band with certified
+    double-single pair-f32 arithmetic — native VPU speed, every cell exact
+    over the f64 inputs except within ~2^-45 * scale of the band edge
+    (see :func:`_ds_vote_counts`; the emulated-f64 product it replaces was
+    77% of the sweep).  ``"f64"`` evaluates the squared band entirely in
+    f64 — bit-identical to the estimator vote path — and remains the
+    parity oracle (count equality between the two is pinned in
+    tests/test_ops.py on bench-style and exactly-representable data).
     """
     n, d = points.shape
     assert d == 3
@@ -94,27 +226,31 @@ def sphere3d_planar_sweep(points, key, groups: int, delta: float,
     p2 = jnp.sum(points * points, axis=-1)                 # [n]
     c2 = jnp.sum(c_bt * c_bt, axis=-1)                     # [B]
 
-    def vote(c_blk, c2_blk, r_blk):
-        cp = jnp.einsum("bd,nd->bn", c_blk, points,
-                        preferred_element_type=points.dtype)
-        d2 = p2[None, :] - 2.0 * cp + c2_blk[:, None]
-        rp = r_blk + delta
-        rm = r_blk - delta
-        hi2 = rp * rp
-        lo2 = jnp.where(rm >= 0.0, rm * rm, -jnp.inf)
-        return jnp.sum(
-            (d2 < hi2[:, None]) & (d2 > lo2[:, None]), axis=-1
-        )
+    if vote == "ds":
+        def vote_fn(c_blk, c2_blk, r_blk):
+            return _ds_vote_counts(points, c_blk, r_blk, delta)
+    else:
+        def vote_fn(c_blk, c2_blk, r_blk):
+            cp = jnp.einsum("bd,nd->bn", c_blk, points,
+                            preferred_element_type=points.dtype)
+            d2 = p2[None, :] - 2.0 * cp + c2_blk[:, None]
+            rp = r_blk + delta
+            rm = r_blk - delta
+            hi2 = rp * rp
+            lo2 = jnp.where(rm >= 0.0, rm * rm, -jnp.inf)
+            return jnp.sum(
+                (d2 < hi2[:, None]) & (d2 > lo2[:, None]), axis=-1
+            )
 
     if chunk and chunk < b:
         assert b % chunk == 0
         counts = jax.lax.map(
-            lambda args: vote(*args),
+            lambda args: vote_fn(*args),
             (c_bt.reshape(-1, chunk, 3), c2.reshape(-1, chunk),
              r.reshape(-1, chunk)),
         ).reshape(-1)
     else:
-        counts = vote(c_bt, c2, r)
+        counts = vote_fn(c_bt, c2, r)
 
     counts = jnp.where(valid, counts, -1)
     params = jnp.concatenate([c_bt, r[:, None]], axis=1)

@@ -521,6 +521,47 @@ def check_lm_sphere(b=512, m=128):
     return ok
 
 
+def check_generic_ds(groups=6, n=1024):
+    """The generic engine's certified double-single vote ON THE CHIP.
+
+    The DS vote's Dekker/TwoSum identities assume strict f32 semantics;
+    the axon terminal compiles with ``--xla_allow_excess_precision=true``,
+    so this gate (a) runs BOTH vote modes on the chip over identical f64
+    fits and demands EXACT count equality (isolates the DS arithmetic
+    from fit rounding), and (b) cross-checks the chip DS counts against
+    the CPU f64 reference with the usual emulated-f64 fit slack."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.ops.planar_points import sphere3d_planar_sweep
+
+    pts = _sphere_cloud(jax.random.PRNGKey(12), n)
+    pts = jnp.asarray(pts, jnp.float64)
+    key = jax.random.PRNGKey(21)
+
+    c_ds, _ = sphere3d_planar_sweep(pts, key, groups, 1.0, vote="ds")
+    c_f64, _ = sphere3d_planar_sweep(pts, key, groups, 1.0, vote="f64")
+    c_ds = np.asarray(jax.device_get(c_ds))
+    c_f64 = np.asarray(jax.device_get(c_f64))
+    same = int(np.abs(c_ds - c_f64).max())
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pts_cpu = jnp.asarray(jax.device_get(pts))
+        c_ref, _ = sphere3d_planar_sweep(pts_cpu, key, groups, 1.0,
+                                         vote="f64")
+        c_ref = np.asarray(jax.device_get(c_ref))
+    dref = int(np.abs(c_ds - c_ref).max())
+
+    ok = same == 0 and dref <= 3
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} generic_ds: chip ds-vs-f64 max|d|={same} (must be 0), "
+        f"chip-vs-cpu max|d|={dref} (B={groups * n}, n={n})",
+        flush=True,
+    )
+    return ok
+
+
 def check_lm_stats(b=64, n=64):
     """Sufficient-statistics LM (``linalg/stats_lm.py``) on the real chip vs
     the same solver on CPU — f64 einsums and the while_loop all run through
@@ -587,7 +628,7 @@ def main():
         "--families",
         nargs="*",
         default=sorted(FAMILIES) + list(US_FAST)
-        + ["fleet_sphere", "lm_sphere", "lm_stats_pointer"],
+        + ["fleet_sphere", "lm_sphere", "lm_stats_pointer", "generic_ds"],
     )
     ap.add_argument("--groups", type=int, default=6)
     args = ap.parse_args()
@@ -602,6 +643,8 @@ def main():
                 checker = lambda n: check_lm_sphere()  # noqa: E731
             elif name == "lm_stats_pointer":
                 checker = lambda n: check_lm_stats()  # noqa: E731
+            elif name == "generic_ds":
+                checker = lambda n: check_generic_ds()  # noqa: E731
             elif name in US_FAST:
                 checker = lambda n: check_us_fast(n)  # noqa: E731
             else:

@@ -11,7 +11,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 LABELS = {
     "ransac": ("3D sphere RANSAC (fused whole-sweep kernel)", "hyp/s"),
-    "generic": ("3D sphere RANSAC, faithful-f64 generic engine", "hyp/s"),
+    "generic": ("3D sphere RANSAC, faithful-f64 generic engine "
+                "(certified double-single vote)", "hyp/s"),
     "lm": ("batched Levenberg-Marquardt (fused megakernel)", "iter/s"),
     "lm_pointer": ("pointer-calibration LM (sufficient-statistics form)",
                    "iter/s"),

@@ -152,6 +152,67 @@ def test_sphere_planar_sweep_matches_engine_f64():
     )
     np.testing.assert_array_equal(np.asarray(counts_c), np.asarray(counts))
 
+    # The f64 vote mode is bit-identical to the estimator path too.
+    counts_f64, _ = sphere3d_planar_sweep(
+        pts, skey, groups, est.delta, vote="f64"
+    )
+    np.testing.assert_array_equal(np.asarray(counts_f64), np.asarray(c_ref))
+
+
+def test_ds_vote_equals_f64_vote():
+    """The certified double-single vote counts exactly as the all-f64
+    squared-band vote: on a bench-scale noisy workload (no point sits
+    within 2^-45 * scale of a band edge) and on exactly-representable
+    integer data where even band-edge TIES must be decided identically
+    (the pair arithmetic is exact there — no rounding anywhere)."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.ops.planar_points import (
+        _ds_vote_counts,
+        sphere3d_planar_sweep,
+    )
+
+    # Bench-style workload at a few hundred hypotheses.
+    key = jax.random.PRNGKey(11)
+    k1, k2, k3 = jax.random.split(key, 3)
+    d = jax.random.normal(k1, (200, 3))
+    d = d / jnp.linalg.norm(d, axis=1, keepdims=True)
+    pts = jnp.asarray([5.0, -2.0, 11.0]) + 25.0 * d
+    pts = pts + 0.3 * jax.random.normal(k2, pts.shape)
+    pts = jnp.concatenate(
+        [pts, jax.random.uniform(k3, (56, 3), minval=-40.0, maxval=40.0)]
+    )
+    skey = jax.random.PRNGKey(3)
+    c_ds, p_ds = sphere3d_planar_sweep(pts, skey, 2, 1.0, vote="ds")
+    c_f64, p_f64 = sphere3d_planar_sweep(pts, skey, 2, 1.0, vote="f64")
+    np.testing.assert_array_equal(np.asarray(c_ds), np.asarray(c_f64))
+    np.testing.assert_array_equal(np.asarray(p_ds), np.asarray(p_f64))
+
+    # Integer workload with points EXACTLY on band edges: center (3,4,0),
+    # r = 5, delta = 2 -> band edges at dist 3 and 7 (d2 at 9 and 49).
+    centers = jnp.asarray([[3.0, 4.0, 0.0, 5.0], [0.0, 0.0, 0.0, 2.0]])
+    ipts = jnp.asarray(
+        [
+            [3.0, 4.0, 3.0],   # dist 3: ON lower edge, must NOT vote
+            [3.0, 4.0, 7.0],   # dist 7: ON upper edge, must NOT vote
+            [3.0, 4.0, 4.0],   # dist 4: inside
+            [3.0, 4.0, 6.9],   # inside (noninteger but representable)
+            [10.0, 4.0, 0.0],  # dist 7 along x: ON upper edge
+            [0.0, 0.0, 0.0],   # dist 5 from sphere 1 (votes); center of
+                               # sphere 2 (r == delta): no vote there
+            [0.0, 0.0, 1.0],   # dist sqrt(26) from 1 (votes); dist 1
+                               # from sphere 2 (votes)
+        ]
+    )
+    cnt_ds = _ds_vote_counts(ipts, centers[:, :3], centers[:, 3], 2.0)
+    # f64 oracle via the estimator's vote_counts (squared band in f64).
+    from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
+
+    est = SphereEstimator(delta=2.0, dim=3, ls_type=ALGEBRAIC)
+    cnt_f64 = est.vote_counts(centers, ipts)
+    np.testing.assert_array_equal(np.asarray(cnt_ds), np.asarray(cnt_f64))
+    np.testing.assert_array_equal(np.asarray(cnt_ds), [4, 1])
+
 
 def test_sqrt_free_band_vote_equals_literal_agree():
     """The squared-band vote ((max(r-d,0))^2 < d2 < (r+d)^2) counts exactly
