@@ -181,7 +181,7 @@ def bench_dense(args):
     rows = jnp.concatenate([a, b[:, None]], axis=1)
 
     total_groups = max(1, (args.hypotheses // n) * args.steps // 2)
-    reps = 8
+    reps = 24  # amortize the ~25 ms tunnel RTT (~34 ms device per sweep)
 
     @jax.jit
     def sweeps(seed0):
