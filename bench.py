@@ -477,12 +477,13 @@ def bench_phantom(args):
     data = (frames, q)
 
     est = PlanePhantomUSCalibrationEstimator(delta=1.0)
-    groups = max(1, min(args.hypotheses // n, 512))
+    # B = 64k per sweep (was 32k): the round-5 stage work cut device time
+    # to ~6 ms/sweep at 32k, putting the ~25 ms tunnel round-trip back at
+    # ~25% of a reps=12 wall measurement; bigger sweeps + 16 reps push the
+    # dispatch under ~10%.  Every sweep still sees a distinct key.
+    groups = max(1, min(args.hypotheses // n, 1024))
     hyp_per_sweep = groups * n
-    # 12 sweeps per scan: at ~12 ms device time per sweep the ~25 ms tunnel
-    # round-trip was 1/3 of a reps=4 wall measurement; every sweep still
-    # sees a distinct key (nothing memoizes).
-    reps = 12
+    reps = 16
 
     @jax.jit
     def sweeps(seed0):

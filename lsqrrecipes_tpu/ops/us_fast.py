@@ -307,49 +307,67 @@ def _ds_project(a_pl, a32, v_pl, dt):
     ah, al = dekker(a32)
     vh, vl = dekker(v_pl)
 
-    q, _, bsz = v_pl.shape
-    s = jnp.zeros((q, 31, bsz), f32)
-    e = jnp.zeros((q, 31, bsz), f32)
-    for c in range(31):
-        # term[q, row, B] = a[row, c] * v[q, c]; broadcast col slice.
-        ahc, alc = ah[:, c][None], al[:, c][None]        # [1, 31, B]
-        aec = a_err[:, c][None]
-        vhc, vlc = vh[:, c, None], vl[:, c, None]        # [q, 1, B]
-        vc = v_pl[:, c, None]
-        p1 = ahc * vhc                                   # exact (12x12 bit)
-        p_err = (ahc * vlc + alc * vhc) + alc * vlc + aec * vc
-        # TwoSum(s, p1): exact sum + rounding term into the e stream.
-        t = s + p1
-        bp = t - s
-        err = (s - (t - bp)) + (p1 - bp)
-        s = t
-        e = e + (err + p_err)
-    # Compress the pair: s holds only the hi*vh partial sum, so for
-    # near-null columns s and e cancel against each other (both ~2^-12
-    # ||A|| while w ~ sigma_31).  One TwoSum renormalizes to |lo| <=
-    # 2^-23 |hi|, which is what lets _ds_gram drop the lo*lo' term.
-    hi = s + e
-    bp = hi - s
-    lo = (s - (hi - bp)) + (e - bp)
-    return hi, lo
+    # Accumulators are q SEPARATE [31, B] arrays: a [q=4, 31, B] carry
+    # tiles as T(4, 128) — half the sublanes idle on every op (measured
+    # the projection's dominant fusion at 2x its dense cost); lists of
+    # [31, B] stay on full (8, 128) tiles, and the per-column a-slices
+    # are shared across the q loop.
+    q = v_pl.shape[0]
+    w_s = [None] * q
+    w_e = [None] * q
+    for qi in range(q):
+        s = None
+        e = None
+        for c in range(31):
+            ahc, alc = ah[:, c], al[:, c]                # [31, B]
+            aec = a_err[:, c]
+            vhc, vlc = vh[qi, c][None], vl[qi, c][None]  # [1, B]
+            vc = v_pl[qi, c][None]
+            p1 = ahc * vhc                               # exact (12x12 bit)
+            p_err = (ahc * vlc + alc * vhc) + alc * vlc + aec * vc
+            if s is None:
+                s, e = p1, p_err
+                continue
+            # TwoSum(s, p1): exact sum + rounding term into the e stream.
+            t = s + p1
+            bp = t - s
+            err = (s - (t - bp)) + (p1 - bp)
+            s = t
+            e = e + (err + p_err)
+        # Compress the pair: s holds only the hi*vh partial sum, so for
+        # near-null columns s and e cancel against each other (both ~2^-12
+        # ||A|| while w ~ sigma_31).  One TwoSum renormalizes to |lo| <=
+        # 2^-23 |hi|, which is what lets _ds_gram drop the lo*lo' term.
+        hi = s + e
+        bp = hi - s
+        w_s[qi] = hi
+        w_e[qi] = (s - (hi - bp)) + (e - bp)
+    return w_s, w_e
 
 
 def _ds_gram(w_s, w_e, dt):
     """Ritz matrix ``S = W^T W`` from the pair streams, native f32.
 
+    ``w_s`` / ``w_e``: length-q lists of [31, B] f32 (see _ds_project).
     S's entries carry NO catastrophic cancellation (W's columns are the
     already-cancelled outputs) and the pair arrives COMPRESSED
-    (|lo| <= 2^-23 |hi|, see _ds_project), so ``S = sum_r hi hi' +
-    (hi lo' + lo hi')`` is per-entry relative-accurate to ~31 * 2^-24 and
-    the dropped lo lo' term is ~2^-46 relative (pinned by the eigenvalue
-    check in tests/test_us_calibration.py).  The 4x4 SOLVES stay f64 —
-    their condition (sigma_28^2 / sigma_31^2 ~ 1e9) is beyond f32
-    Cholesky — but they are O(q^2 B), not O(q^2 31 B)."""
-    ss = jnp.sum(w_s[:, None] * w_s[None, :], axis=2)
-    cross = jnp.sum(
-        w_s[:, None] * w_e[None, :] + w_e[:, None] * w_s[None, :], axis=2
-    )
-    return (ss + cross).astype(dt)
+    (|lo| <= 2^-23 |hi|), so ``S = sum_r hi hi' + (hi lo' + lo hi')`` is
+    per-entry relative-accurate to ~31 * 2^-24 and the dropped lo lo'
+    term is ~2^-46 relative (pinned by the eigenvalue check in
+    tests/test_us_calibration.py).  The 4x4 SOLVES stay f64 — their
+    condition (sigma_28^2 / sigma_31^2 ~ 1e9) is beyond f32 Cholesky —
+    but they are O(q^2 B), not O(q^2 31 B).  Returns the nested
+    ``[q][q]`` list of [B] vectors the lanes-form solves consume."""
+    q = len(w_s)
+    g = [[None] * q for _ in range(q)]
+    for i in range(q):
+        for j in range(i, q):
+            ss = jnp.sum(w_s[i] * w_s[j], axis=0)
+            cross = jnp.sum(
+                w_s[i] * w_e[j] + w_e[i] * w_s[j], axis=0
+            )
+            g[i][j] = g[j][i] = (ss + cross).astype(dt)
+    return g
 
 
 
@@ -486,23 +504,24 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     # Cholesky (a 4x4 Jacobi sweep chain compiled ~12 s; this is ~200 ops).
     v64_pl = v_pl.astype(dt)                            # [q, 31, B]
     if _USE_DS_RITZ and dt == jnp.float64:
-        w_s, w_e = _ds_project(a_pl, a32, v_pl, dt)     # pair [q, 31, B]
-        s_pl = _ds_gram(w_s, w_e, dt)                   # [q, q, B]
+        w_s, w_e = _ds_project(a_pl, a32, v_pl, dt)     # q-lists of [31, B]
+        sg = _ds_gram(w_s, w_e, dt)                     # [q][q] of [B]
     else:
         w_pl = jnp.sum(
             a_pl[None, :, :, :] * v64_pl[:, None, :, :], axis=2
         )
         s_pl = jnp.sum(w_pl[:, None, :, :] * w_pl[None, :, :, :], axis=2)
+        sg = [[s_pl[i, j] for j in range(q)] for i in range(q)]
     # All 4x4 work in LANES-LIST form: a [B, 4, 4] f64 array tiles its
     # trailing dims to (8, 128) (~85x padding) and [B, 4] vectors pad
     # their 4 lanes to 128 — the measured cost of this stage was layout,
-    # not arithmetic (docs/PHANTOM_STAGES.json).  s_pl[i, j] slices are
+    # not arithmetic (docs/PHANTOM_STAGES.json).  sg[i][j] entries are
     # [B] vectors; every op below is dense [B] arithmetic.
     tiny = jnp.finfo(dt).tiny
-    trace = s_pl[0, 0] + s_pl[1, 1] + s_pl[2, 2] + s_pl[3, 3]
+    trace = sg[0][0] + sg[1][1] + sg[2][2] + sg[3][3]
     shift = 100.0 * jnp.finfo(dt).eps * trace + tiny
     s_ll = [
-        [s_pl[i, j] + jnp.where(i == j, shift, 0.0) for j in range(q)]
+        [sg[i][j] + shift if i == j else sg[i][j] for j in range(q)]
         for i in range(q)
     ]
 
@@ -522,8 +541,10 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
         c, _ = cholesky_solve_lanes(s_ll, c, q)
         c = _unit_l(c)
     x_pl = sum(c[j][None, :] * v64_pl[j] for j in range(q))  # [31, B]
-    x = x_pl.T                                          # [B, 31]
-    x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), tiny)
+    xn = 1.0 / jnp.maximum(
+        jnp.sqrt(jnp.sum(x_pl * x_pl, axis=0)), tiny
+    )
+    xq = [x_pl[i] * xn for i in range(31)]              # 31 x [B] lanes
 
     # Rank gate ``s[29] > FLT_EPS * max(s[0], 1)`` (``cxx:205-218`` via
     # ``us_calibration.py``): sigma_30^2 from the deflated second Ritz
@@ -538,7 +559,7 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     for _ in range(2):
         y, _ = cholesky_solve_lanes(s_ll, y, q)
         y = _deflate(y)
-    sy = [sum(s_pl[i, j] * y[j] for j in range(q)) for i in range(q)]
+    sy = [sum(sg[i][j] * y[j] for j in range(q)) for i in range(q)]
     lam1 = sum(y[i] * sy[i] for i in range(q))
 
     pv = jnp.full((31, bsz), _np.float32(1.0 / _np.sqrt(31.0)), f32)
@@ -558,14 +579,18 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     rank_ok = lam1 > _PHANTOM_FLT_EPS**2 * jnp.maximum(sig0_sq, 1.0)
     chol_ok = fac_ok  # factorization-health gate (name kept for the mask)
 
-    xr = x
-    denom = jnp.linalg.norm(xr[:, 27:30], axis=-1)
+    # Reconstruction entirely in LANES form on the 31 [B] rows of the null
+    # vector: the previous [B, 31] transpose + [B, 3, 3] mean/reshape ops
+    # paid (8, 128) padding on 3x3 trailing dims (the "other" bucket of
+    # docs/PHANTOM_STAGES.json — ~2.2 ms/sweep at B=32k, mostly layout).
+    denom = jnp.sqrt(xq[27] ** 2 + xq[28] ** 2 + xq[29] ** 2)
     nondeg = denom > 1e-30
-    xr = xr / jnp.where(nondeg, denom, 1.0)[:, None]
+    invd = 1.0 / jnp.where(nondeg, denom, 1.0)
+    xr = [xi * invd for xi in xq]
 
-    r1 = xr[:, 27:30]                             # R1 row 3 (plane normal)
-    t1_z = xr[:, 30]
-    wy1 = jnp.arctan2(-r1[:, 0], jnp.sqrt(r1[:, 1] ** 2 + r1[:, 2] ** 2))
+    r1 = [xr[27], xr[28], xr[29]]                 # R1 row 3 (plane normal)
+    t1_z = xr[30]
+    wy1 = jnp.arctan2(-r1[0], jnp.sqrt(r1[1] ** 2 + r1[2] ** 2))
     gimbal = jnp.logical_not(
         jnp.logical_and(
             jnp.abs(wy1 - HALF_PI) > SMALL_ANGLE,
@@ -574,26 +599,28 @@ def _phantom_ritz_and_reconstruct(a_pl, a32, v_pl, fac_ok, dt):
     )
     cy1 = jnp.where(gimbal, 1.0, jnp.cos(wy1))
     wx1 = jnp.where(
-        gimbal, 0.0, jnp.arctan2(r1[:, 1] / cy1, r1[:, 2] / cy1)
+        gimbal, 0.0, jnp.arctan2(r1[1] / cy1, r1[2] / cy1)
     )
 
-    inv = 1.0 / jnp.where(jnp.abs(r1) > 1e-30, r1, 1.0)
-    c1 = jnp.mean(xr[:, 0:9].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
-    c2 = jnp.mean(xr[:, 9:18].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
-    t3 = jnp.mean(xr[:, 18:27].reshape(-1, 3, 3) * inv[:, :, None], axis=1)
+    inv = [1.0 / jnp.where(jnp.abs(r1[j]) > 1e-30, r1[j], 1.0)
+           for j in range(3)]
+    c1 = [sum(xr[3 * j + cc] * inv[j] for j in range(3)) / 3.0
+          for cc in range(3)]
+    c2 = [sum(xr[9 + 3 * j + cc] * inv[j] for j in range(3)) / 3.0
+          for cc in range(3)]
+    t3 = [sum(xr[18 + 3 * j + cc] * inv[j] for j in range(3)) / 3.0
+          for cc in range(3)]
 
-    m_x, m_y, r3, ok = _orthonormalize_lanes(
-        [c1[:, 0], c1[:, 1], c1[:, 2]], [c2[:, 0], c2[:, 1], c2[:, 2]]
-    )
+    m_x, m_y, r3, ok = _orthonormalize_lanes(c1, c2)
     wz3, wy3, wx3 = euler_zyx_plus_lanes(r3)
     col0 = [r3[i][0] for i in range(3)]
     col1 = [r3[i][1] for i in range(3)]
-    m1 = [m_x * r1[:, j] * col0[c] for j in range(3) for c in range(3)]
-    m2 = [m_y * r1[:, j] * col1[c] for j in range(3) for c in range(3)]
-    m3 = [r1[:, j] * t3[:, c] for j in range(3) for c in range(3)]
+    m1 = [m_x * r1[j] * col0[cc] for j in range(3) for cc in range(3)]
+    m2 = [m_y * r1[j] * col1[cc] for j in range(3) for cc in range(3)]
+    m3 = [r1[j] * t3[cc] for j in range(3) for cc in range(3)]
     cols = (
-        [wy1, wx1, t1_z, t3[:, 0], t3[:, 1], t3[:, 2], wz3, wy3, wx3, m_x, m_y]
-        + m1 + m2 + m3 + [r1[:, 0], r1[:, 1], r1[:, 2]]
+        [wy1, wx1, t1_z, t3[0], t3[1], t3[2], wz3, wy3, wx3, m_x, m_y]
+        + m1 + m2 + m3 + [r1[0], r1[1], r1[2]]
     )
     valid = jnp.logical_and(
         jnp.logical_and(chol_ok, rank_ok), jnp.logical_and(nondeg, ok)
@@ -796,26 +823,35 @@ def _fit_vote_chunk(kind, delta_sq, slot_pl, feats):
 def _chunk_size(bsz, n, k=4):
     # ~4M residual cells per chunk keeps the [chunk, n] vote tile VMEM-sized;
     # the k*k bound keeps the plane-phantom [chunk, 31, 31] planar scan
-    # carries VMEM-resident (chip traces show them in S(1) at chunk=4364;
-    # an un-chunked whole-batch variant measured 3x SLOWER at B=32k — the
-    # [31, 31, 32768] carries stream HBM on every one of the 31 scan steps).
-    return min(bsz, max(256, (1 << 22) // max(n, k * k)))
+    # carries VMEM-resident (chip traces show them in S(1); an un-chunked
+    # whole-batch variant measured 3x SLOWER at B=32k — the [31, 31, 32768]
+    # carries stream HBM on every one of the 31 scan steps).  Rounded DOWN
+    # to a lane-tile multiple so chunk slices land on 128-aligned offsets.
+    c = max(256, (1 << 22) // max(n, k * k))
+    c = max(128, (c // 128) * 128)
+    return min(bsz, c)  # a small (sharded) batch stays one whole chunk
 
 
 @functools.partial(jax.jit, static_argnames=("kind", "delta_sq", "chunk"))
 def _fit_and_vote_planes(kind, delta_sq, chunk, planes, feats):
-    """planes: [k, F, B] sampling planes (B on lanes)."""
-    nparams = _KINDS[kind][5]
+    """planes: [k, F, B] sampling planes (B on lanes).
+
+    Chunks are taken as dynamic LANE-axis slices of the intact planes
+    (offsets are multiples of the 128-aligned ``chunk``) instead of
+    pre-splitting into a ``[nc, k, F, chunk]`` array: the pre-split
+    version's per-iteration slices carried a degenerate (1, 128) tile
+    (sublane dim = the size-1 chunk axis) — 8x the sublane traffic,
+    ~1.3 ms/sweep at B=32k on the phantom (docs/PHANTOM_STAGES.json)."""
     nc = planes.shape[-1] // chunk
-    chunked = jnp.moveaxis(
-        planes.reshape(*planes.shape[:-1], nc, chunk), -2, 0
-    )  # [nc, k, F, chunk]
 
-    def step(pl_chunk):
-        return _fit_vote_chunk(kind, delta_sq, pl_chunk, feats)
+    def step(carry, i):
+        pl_chunk = jax.lax.dynamic_slice_in_dim(
+            planes, i * chunk, chunk, axis=-1
+        )
+        return carry, _fit_vote_chunk(kind, delta_sq, pl_chunk, feats)
 
-    counts, params = jax.lax.map(step, chunked)
-    return counts.reshape(-1), params.reshape(-1, nparams)
+    _, (counts, params) = jax.lax.scan(step, 0, jnp.arange(nc))
+    return counts.reshape(-1), params.reshape(-1, params.shape[-1])
 
 
 def build_sampling_planes(kind, data, key, groups: int):

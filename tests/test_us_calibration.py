@@ -447,7 +447,12 @@ def test_ds_ritz_projection_matches_f64():
     from lsqrrecipes_tpu.ops.us_fast import _ds_gram
 
     w_s, w_e = _ds_project(a_pl, a32, v_pl, jnp.float64)
-    w_ds = np.asarray(w_s.astype(jnp.float64) + w_e.astype(jnp.float64))
+    w_ds = np.stack(
+        [
+            np.asarray(s.astype(jnp.float64) + e.astype(jnp.float64))
+            for s, e in zip(w_s, w_e)
+        ]
+    )
     w_ref = np.asarray(
         jnp.sum(a_pl[None] * v_pl.astype(jnp.float64)[:, None], axis=2)
     )
@@ -459,7 +464,10 @@ def test_ds_ritz_projection_matches_f64():
 
     # The pair-f32 Ritz matrix resolves the smallest two eigenvalues (the
     # sigma_31^2 / sigma_30^2 pair the rank gate and null extraction need).
-    s_ds = np.asarray(_ds_gram(w_s, w_e, jnp.float64))
+    sg = _ds_gram(w_s, w_e, jnp.float64)
+    s_ds = np.stack(
+        [np.stack([np.asarray(sg[i][j]) for j in range(4)]) for i in range(4)]
+    )
     s_ref = np.einsum("qrb,prb->qpb", w_ref, w_ref)
     for bi in range(0, bsz, 7):
         ev_ds = np.linalg.eigvalsh(s_ds[:, :, bi])
