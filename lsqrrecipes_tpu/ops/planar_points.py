@@ -82,10 +82,6 @@ def _ds_vote_counts(points, c_bt, r, delta):
     the f64 vote bit-for-bit (tests pin this).  vs the emulated-f64
     einsum this is ~2.9 G f64-madd/s -> native-f32 VPU work.
     """
-    dt = points.dtype
-    n = points.shape[0]
-    b = c_bt.shape[0]
-
     ph = [None] * 3
     pl = [None] * 3
     phh = [None] * 3

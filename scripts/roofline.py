@@ -20,12 +20,13 @@ Flop model of a fused band-vote kernel (ops/fused_sweep.py):
   * fit (VPU): closed-form lane arithmetic per hypothesis — small next to
     the vote everywhere (see the kernel fraction in FAMILY_PERF.json).
 
-MXU peak microbench: chained dependent [k, k] bf16 matmuls.  The round-4
-version ran ONLY k=4096, whose 33.5 MB operands cannot stay VMEM-resident
-(16 MB) — the chain streamed HBM every step and measured below the
-flagship kernel's own sustained rate.  Now k in {1024, 2048, 4096} with
-VMEM-resident sizes included; the best sustained rate is the empirical
-peak and the v5e datasheet 197 TFLOP/s is printed alongside for scale.
+MXU peak microbench: the round-4 version chained ONE dependent matmul
+stream and was latency-bound at ~86 TFLOP/s regardless of k (each product
+drains before the next issues) — which is why it measured below the
+flagship kernel's sustained rate and got discarded.  Four INDEPENDENT
+interleaved chains keep the pipeline full: 244.8 TFLOP/s measured at
+k=4096, above the 197 T public v5e number; the best sustained rate is
+the utilization denominator (no spec sheet).
 
 Usage:  nohup python scripts/roofline.py > /tmp/roofline.log 2>&1 &
 """
@@ -163,12 +164,12 @@ def main():
     print("| family | wall rate | kernel% | model padded | trace padded |"
           " trace/model | trace %peak | useful |")
     print("|---|---|---|---|---|---|---|---|")
-    for key, (label, kf, dots, passes, fit_flops) in FAMILIES.items():
+    for key, (label, kf, dots, passes, _fit_flops) in FAMILIES.items():
         row = fam_perf.get(key)
         if not row or "error" in row:
             print(f"| {label} | MISSING | | | | | | |")
             continue
-        pf, n_pad = padded_flops_per_hyp(kf, dots, passes, row["n"])
+        pf, _n_pad = padded_flops_per_hyp(kf, dots, passes, row["n"])
         uf = 2.0 * kf * dots * passes * row["n"]
         model = row["hyp_per_s"] * pf
         trace = (row["kernel_hyp_per_s"] or 0) * pf
