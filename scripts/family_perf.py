@@ -4,9 +4,10 @@ utilization table cite.
 
 Two numbers per family, both from the chip:
 
-  1. ``hyp_per_s``: wall-rate of one jitted ``lax.scan`` of 4 sweeps with
-     distinct keys (bench.py methodology — repeats are never identical, so
-     nothing memoizes), min over 3 trials.
+  1. ``hyp_per_s``: wall-rate of one jitted ``lax.scan`` of 12 sweeps
+     with distinct keys (bench.py methodology — repeats are never
+     identical, so nothing memoizes), min over 3 trials; 12 reps keep the
+     ~25 ms tunnel round-trip under ~15% of the measurement.
   2. ``kernel_ms_per_sweep``: from an ``jax.profiler`` xplane trace of 3
      single-sweep executions — the summed duration of the Pallas kernel
      custom-call events divided by 3.  ``kernel_hyp_per_s`` is the pure
@@ -106,7 +107,7 @@ def measure_family(name):
             )
             return carry, count
 
-        _, counts = jax.lax.scan(body, 0, jnp.arange(4))
+        _, counts = jax.lax.scan(body, 0, jnp.arange(12))
         return counts
 
     np.array(sweeps(0))  # compile + warm
@@ -114,7 +115,7 @@ def measure_family(name):
     for trial in range(3):
         t0 = time.perf_counter()
         counts = np.array(sweeps(1000 * (trial + 1)))
-        t = (time.perf_counter() - t0) / 4
+        t = (time.perf_counter() - t0) / 12
         assert (counts > 0).all(), f"{name}: zero best count"
         elapsed = t if elapsed is None else min(elapsed, t)
 
@@ -187,7 +188,7 @@ def main():
     payload = {
         "date": datetime.date.today().isoformat(),
         "device": "TPU v5 lite (1 chip, axon tunnel)",
-        "method": "jitted 4-sweep scan (wall, min of 3) + xplane trace of 3 "
+        "method": "jitted 12-sweep scan (wall, min of 3) + xplane trace of 3 "
                   "single sweeps (kernel custom-call time)",
         "families": {k: results[k] for k in GROUPS if k in results},
     }

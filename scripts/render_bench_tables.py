@@ -63,7 +63,7 @@ def render_family_table():
         payload = json.load(f)
     fams = payload["families"]
     print(f"\nFused families, measured {payload['date']} "
-          f"(docs/FAMILY_PERF.json; wall = jitted 4-sweep scan incl. the\n"
+          f"(docs/FAMILY_PERF.json; wall = jitted 12-sweep scan incl. the\n"
           f"amortized ~25 ms tunnel round-trip, in-kernel = Pallas "
           f"custom-call time from the xplane trace):\n")
     print("| family | minimal fit in-kernel | n | wall hyp/s | in-kernel "
