@@ -115,28 +115,49 @@ def measure_mxu_peak(k, flop_target=4e12, streams=4):
     return 2.0 * streams * k ** 3 / best
 
 
-def measure_vpu_peak(rows=512, cols=8192, chain=64, reps=8):
-    x = jnp.ones((rows, cols), jnp.float32)
+def measure_vpu_peak(rows=64, cols=1024, chain=4096, streams=16, reps=4):
+    """Sustained f32 FMA rate on (8,128)-tiled elementwise chains.
+
+    Traps found empirically (chip sweep, round 5): a 16 MB operand streams
+    HBM on every chained FMA (measures bandwidth, ~0.16 T); a single
+    small-operand chain is DEPENDENT (each FMA waits for the last,
+    ~0.07-0.47 T depending on length); short scans are per-step-overhead
+    bound (~0.1 ms/step).  16 independent 256 KB VMEM-resident chains of
+    4096 FMAs plateau at ~1.2 TFLOP/s — the empirical sustained VPU rate
+    for dependent elementwise work (more streams regress: 32 -> 0.96 T)."""
+    xs = [
+        jnp.full((rows, cols), jnp.float32(1.0 + 0.01 * i))
+        for i in range(streams)
+    ]
 
     @jax.jit
     def run(scale):
-        def body(c, s):
-            y = x * s
-            for _ in range(chain):
-                y = y * jnp.float32(1.0000001) + jnp.float32(1e-7)
-            return c, jnp.sum(y[::64, ::512])
-        _, outs = jax.lax.scan(body, 0.0, scale + jnp.arange(reps, dtype=jnp.float32))
+        def body(ys, s):
+            ys = tuple(
+                y * jnp.float32(1.0000001) + jnp.float32(1e-7) * s
+                for y in ys
+            )
+            for _ in range(chain - 1):
+                ys = tuple(
+                    y * jnp.float32(1.0000001) + jnp.float32(1e-7)
+                    for y in ys
+                )
+            return ys, ys[0][0, 0]
+        _, outs = jax.lax.scan(
+            body, tuple(x * scale for x in xs),
+            jnp.arange(reps, dtype=jnp.float32),
+        )
         return outs
 
     np.array(run(jnp.float32(1.0)))
     best = None
     for t in range(3):
         t0 = time.perf_counter()
-        outs = np.array(run(jnp.float32(2.0 + t)))
+        outs = np.array(run(jnp.float32(1.0 + 0.125 * t)))
         dt = (time.perf_counter() - t0) / reps
         assert np.all(np.isfinite(outs))
         best = dt if best is None else min(best, dt)
-    return 2.0 * chain * rows * cols / best
+    return 2.0 * chain * streams * rows * cols / best
 
 
 def padded_flops_per_hyp(kf, dots, passes, n):
