@@ -65,7 +65,24 @@ def _two_sum(a, b):
     return s, (a - (s - bp)) + (b - bp)
 
 
-def _ds_vote_counts(points, c_bt, r, delta):
+def _ds_point_pack(points):
+    """Point-side DS operands, computed ONCE per sweep: pair splits and
+    Dekker sub-splits of each coordinate plus the p2 pair.  Hoisted out of
+    the vote so a chunked sweep does not redo the O(n) splitting per
+    chunk."""
+    ph = [None] * 3
+    pl = [None] * 3
+    phh = [None] * 3
+    phl = [None] * 3
+    for d in range(3):
+        ph[d], pl[d] = _pair_of_f64(points[:, d])        # [n]
+        phh[d], phl[d] = _dekker(ph[d])
+    p2 = jnp.sum(points * points, axis=-1)               # [n] f64
+    p2h, p2l = _pair_of_f64(p2)
+    return ph, pl, phh, phl, p2h, p2l
+
+
+def _ds_vote_counts(point_pack, c_bt, r, delta):
     """Certified double-single band vote: counts [B] for |dist - r| < delta.
 
     All per-cell arithmetic is native f32 on PAIRS (hi, lo): operands
@@ -81,14 +98,10 @@ def _ds_vote_counts(points, c_bt, r, delta):
     workloads (integer coordinates) incur NO rounding anywhere and match
     the f64 vote bit-for-bit (tests pin this).  vs the emulated-f64
     einsum this is ~2.9 G f64-madd/s -> native-f32 VPU work.
+
+    ``point_pack`` from :func:`_ds_point_pack` (shared across chunks).
     """
-    ph = [None] * 3
-    pl = [None] * 3
-    phh = [None] * 3
-    phl = [None] * 3
-    for d in range(3):
-        ph[d], pl[d] = _pair_of_f64(points[:, d])        # [n]
-        phh[d], phl[d] = _dekker(ph[d])
+    ph, pl, phh, phl, p2h, p2l = point_pack
     ch = [None] * 3
     cl = [None] * 3
     chh = [None] * 3
@@ -107,13 +120,11 @@ def _ds_vote_counts(points, c_bt, r, delta):
     rm = r - delta
     hi2 = rp * rp
     lo2 = rm * rm
-    p2 = jnp.sum(points * points, axis=-1)               # [n] f64
 
     # Per-hypothesis f64 combinations, split once: q_hi = c2 - hi2,
     # q_lo = c2 - lo2 (exact f64 rounding, part of the "input values").
     qh_hi, qh_lo = _pair_of_f64(c2 - hi2)                # [B]
     ql_hi, ql_lo = _pair_of_f64(c2 - lo2)
-    p2h, p2l = _pair_of_f64(p2)                          # [n]
 
     # cp pair over the 3 dims: exact products + TwoSum accumulation.
     s = None
@@ -223,8 +234,13 @@ def sphere3d_planar_sweep(points, key, groups: int, delta: float,
     c2 = jnp.sum(c_bt * c_bt, axis=-1)                     # [B]
 
     if vote == "ds":
+        pack = _ds_point_pack(points)  # once per sweep, shared by chunks
+
         def vote_fn(c_blk, c2_blk, r_blk):
-            return _ds_vote_counts(points, c_blk, r_blk, delta)
+            # c2_blk is part of the chunking tuple but recomputed in-pair
+            # inside the DS vote (it needs the exact f64 value, not a
+            # pre-rounded one) — only the f64 mode consumes it.
+            return _ds_vote_counts(pack, c_blk, r_blk, delta)
     else:
         def vote_fn(c_blk, c2_blk, r_blk):
             cp = jnp.einsum("bd,nd->bn", c_blk, points,

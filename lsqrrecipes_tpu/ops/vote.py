@@ -80,8 +80,17 @@ def _sphere_vote_kernel(params_ref, points_ref, valid_ref, delta_ref, counts_ref
     cp = jnp.dot(c, pts, preferred_element_type=jnp.float32)   # MXU [TB, n_pad]
     pp = jnp.sum(pts * pts, axis=0)[None, :]
     cc = jnp.sum(c * c, axis=1)[:, None]
-    dist = jnp.sqrt(jnp.maximum(pp - 2.0 * cp + cc, 0.0))
-    agree = (jnp.abs(dist - r[:, None]) < delta_ref[0, 0]).astype(jnp.float32)
+    d2 = pp - 2.0 * cp + cc
+    # Sqrt-free squared band, same predicate as the estimator's XLA
+    # vote_counts (which dispatches here for f32/B%512==0 — the two paths
+    # of ONE method must use the same arithmetic so counts don't depend
+    # on batch size at band edges): (max(r-delta,0))^2 < d2 < (r+delta)^2.
+    delta = delta_ref[0, 0]
+    rp = r + delta
+    rm = r - delta
+    hi2 = (rp * rp)[:, None]
+    lo2 = jnp.where(rm >= 0.0, rm * rm, -jnp.inf)[:, None]
+    agree = ((d2 < hi2) & (d2 > lo2)).astype(jnp.float32)
     counts_ref[0, :] = jnp.sum(agree * valid_ref[:], axis=1).astype(jnp.int32)
 
 

@@ -271,12 +271,19 @@ def build_sharded_us_feature_lm(
 
     Returns the jitted ``(data, mask) -> LMResult`` step (lowerable via
     ``.lower(...)`` — the collective-audit test inspects its HLO).
-    ``data_tree``: a pytree with the data's structure (the actual arrays
-    work) used to build the input sharding specs.
+    ``data_tree`` is REQUIRED: a pytree with the data's structure (the
+    actual arrays work) from which the per-leaf sharding specs are built —
+    without it the specs would silently replicate the data while the mask
+    stays sharded, failing deep inside the solve with a shape error.
     """
     from lsqrrecipes_tpu.linalg import stats_lm
     from lsqrrecipes_tpu.linalg.lm import LMConfig, LMResult
 
+    if data_tree is None:
+        raise ValueError(
+            "build_sharded_us_feature_lm needs data_tree (a pytree with "
+            "the data's structure) to build the input sharding specs"
+        )
     if config is None:
         config = LMConfig()
     mesh = mesh if mesh is not None else default_mesh(("data",))

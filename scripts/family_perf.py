@@ -85,8 +85,15 @@ def _op_totals(trace_dir):
 
 
 def _is_kernel_event(name):
-    low = name.lower()
-    return "custom-call" in low or "kernel" in low or "pallas" in low
+    """True iff the event's OP KIND is a custom call (the Pallas kernel).
+
+    Substring matching over the full HLO signature leaks: a fusion whose
+    OPERAND list references `%custom-call.N` is not a kernel.  Reuse the
+    kind-after-output-shape parse from phantom_stages."""
+    from phantom_stages import _parse_sig
+
+    _, kind = _parse_sig(name)
+    return bool(kind) and kind.startswith("custom-call")
 
 
 def measure_family(name):

@@ -92,7 +92,17 @@ def stage_vote_d2(k):
 
 
 def stage_full(k):
-    counts, params = pp.sphere3d_planar_sweep(pts, k, groups, 1.0)
+    # vote="f64" so the delta vs the d2 prefix isolates the f64 band
+    # compares — the default DS vote replaces the einsum/d2 pipeline
+    # entirely and would make this delta meaningless (or negative).
+    counts, params = pp.sphere3d_planar_sweep(pts, k, groups, 1.0,
+                                              vote="f64")
+    return jnp.max(counts) + jnp.sum(params[::517])
+
+
+def stage_full_ds(k):
+    counts, params = pp.sphere3d_planar_sweep(pts, k, groups, 1.0,
+                                              vote="ds")
     return jnp.max(counts) + jnp.sum(params[::517])
 
 
@@ -121,12 +131,15 @@ t_f = timed(stage_fit, "  + f64 Cramer fits")
 t_e = timed(stage_vote_einsum, "  + f64 [B,3]@[3,n] einsum")
 t_d = timed(stage_vote_d2, "  + d2 assembly")
 t_a = timed(stage_full, "  + squared-band compares")
+t_ds = timed(stage_full_ds, "FULL sweep, certified-DS vote")
 print(
     f"\ndeltas: fits {1e3 * (t_f - t_p):.2f} ms, "
     f"einsum {1e3 * (t_e - t_f):.2f} ms, "
     f"d2 {1e3 * (t_d - t_e):.2f} ms, "
     f"band {1e3 * (t_a - t_d):.2f} ms  "
     f"({groups * n} x {n} f64 vote cells; prefix deltas can shift "
-    f"fusion — cross-check vs the full-sweep rate)",
+    f"fusion — cross-check vs the full-sweep rate).\n"
+    f"DS-vote full sweep: {1e3 * t_ds:.2f} ms "
+    f"({groups * n / t_ds / 1e6:.2f}M hyp/s)",
     flush=True,
 )

@@ -117,49 +117,60 @@ def test_ransac_step_collectives_n_independent_except_data_gather():
     est = PlaneEstimator(delta=0.5, dim=3)
     mesh = _mesh(None, shape=(4, 2), names=("hypotheses", "data"))
 
+    # n values chosen so the n-derived block sizes (n, n/2 with 2 data
+    # shards) never collide with the B-derived sizes (B=128, B/h=32), and
+    # the comparison normalizes actual DIMENSION values — a substring
+    # filter over shape strings silently matched the dtype digits
+    # (f64/s32) and compared empty lists.
+    b_total = 128
     per_n = {}
-    for n in (64, 128):
+    for n in (96, 192):
         pts = jax.random.normal(jax.random.PRNGKey(1), (n, 3))
-        idx = sample_k_subsets(jax.random.PRNGKey(2), n, est.k, 128)
+        idx = sample_k_subsets(jax.random.PRNGKey(2), n, est.k, b_total)
         step = build_sharded_ransac_step(est, mesh)
         txt = step.lower(pts, idx).compile().as_text()
         per_n[n] = _collectives(txt)
 
-    for n in (64, 128):
+    for n in per_n:
         kinds = {k for k, _, _ in per_n[n]}
         assert kinds <= {"all-reduce", "all-gather"}, kinds
         # Winner selection is all-gather + replicated argmax (no pmax).
         assert any(k == "all-gather" for k, _, _ in per_n[n])
 
-    def without_data_gather(cols, n):
-        # The ONE n-dependent collective: all-gathering the replicated
-        # data copy (f64[n, 3]) for the minimal-fit gathers.
-        data_g = [
-            c for c in cols if c[0] == "all-gather" and c[2] == f"f64[{n},3]"
-        ]
-        assert len(data_g) == 1, cols
-        rest = list(cols)
-        rest.remove(data_g[0])
-        return sorted(rest)
+    def normalized(cols, n):
+        # Replace every dimension equal to n or the per-shard n-block
+        # (n / 2 data shards) with a symbol; after that, the collective
+        # sets at both n must be IDENTICAL — i.e. nothing but the known
+        # data gather and the n-block-sized mask broadcast scales with n.
+        out = []
+        for kind, b, shp in cols:
+            m = re.match(r"\(?(\w+)\[([\d,]*)\]", shp)
+            dims = [
+                "N" if d and int(d) == n else
+                "NB" if d and int(d) == n // 2 else d
+                for d in m.group(2).split(",")
+            ]
+            norm_b = b if ("N" not in dims and "NB" not in dims) else None
+            out.append((kind, m.group(1), ",".join(dims), norm_b))
+        return sorted(out, key=str)
 
-    r64 = without_data_gather(per_n[64], 64)
-    r128 = without_data_gather(per_n[128], 128)
-    # Vote psums, selection gathers and the stats-refit psum all operate on
-    # per-shard/per-feature quantities; n only changes the local block
-    # sizes, so per-hypothesis-shard vote counts scale with B/h, not n,
-    # and the stats psum is fixed-size. Compare at equal B: identical
-    # shapes except anything sized by the local n-block.
-    n_indep_64 = [c for c in r64 if "64" not in c[2] and "32" not in c[2]]
-    n_indep_128 = [c for c in r128 if "128" not in c[2] and "64" not in c[2]]
-    assert n_indep_64 == n_indep_128
+    r1 = normalized(per_n[96], 96)
+    r2 = normalized(per_n[192], 192)
+    assert r1 == r2, (r1, r2)
+    # Exactly the expected n-dependent collectives: the replicated-data
+    # all-gather f64[N, 3] and the winner-mask broadcast s32[NB]; the
+    # vote-count psum (s64[B/h]), selection gather and the stats-refit
+    # psum must all be n-independent.
+    n_dep = [c for c in r1 if "N" in c[2].split(",") or "NB" in c[2].split(",")]
+    assert sorted(k for k, _, _, _ in n_dep) == ["all-gather", "all-reduce"], n_dep
     # The stats-refit psum (plane: mean [3] + scatter [3,3] + count) is
-    # present and n-independent: a fixed-size f64 all-reduce.
+    # present and n-independent: a small fixed-size f64 all-reduce.
     # (XLA combines the mean/scatter/count psum into one tuple all-reduce.)
     small_f64_psums = [
-        c for c in r64 if c[0] == "all-reduce" and "f64" in c[2]
-        and c[1] <= 8 * 16
+        c for c in r1 if c[0] == "all-reduce" and c[1] == "f64"
+        and c[3] is not None and c[3] <= 8 * 16
     ]
-    assert small_f64_psums, r64
+    assert small_f64_psums, r1
 
 
 def test_no_min_max_all_reduce_anywhere():

@@ -168,6 +168,7 @@ def test_ds_vote_equals_f64_vote():
     import numpy as np
 
     from lsqrrecipes_tpu.ops.planar_points import (
+        _ds_point_pack,
         _ds_vote_counts,
         sphere3d_planar_sweep,
     )
@@ -204,7 +205,9 @@ def test_ds_vote_equals_f64_vote():
                                # from sphere 2 (votes)
         ]
     )
-    cnt_ds = _ds_vote_counts(ipts, centers[:, :3], centers[:, 3], 2.0)
+    cnt_ds = _ds_vote_counts(
+        _ds_point_pack(ipts), centers[:, :3], centers[:, 3], 2.0
+    )
     # f64 oracle via the estimator's vote_counts (squared band in f64).
     from lsqrrecipes_tpu.estimators import ALGEBRAIC, SphereEstimator
 

@@ -196,3 +196,35 @@ def test_estimator_stats_batched_matches_lsq_fit(kind):
         assert bool(v1)
         np.testing.assert_allclose(np.asarray(pb[i]), np.asarray(p1),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_centered_from_gram_matches_centered_problem():
+    """The one-psum raw-Gram congruence (``centered_from_gram``) is the
+    documented communication-minimal alternative to feature centering —
+    no production path uses it since the sharded refit switched to the
+    two-psum form, so this parity test keeps it honest: same centered
+    problem (Gram + coefficient map) as ``_centered_problem`` on the raw
+    features, up to the congruence's ~eps*(raw-scale) build perturbation."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.linalg import stats_lm
+    from lsqrrecipes_tpu.synthetic import make_pointer_data
+
+    (frames, q, p), _, _ = make_pointer_data(jax.random.PRNGKey(3), n=48)
+    h = stats_lm.pointer_features((frames, q, p))
+    wts = stats_lm._weights(h.shape[0], None, h.dtype)
+
+    w_fn_a, gram_a = stats_lm._centered_problem(
+        stats_lm.pointer_w, h, wts, 2
+    )
+    g_raw = jnp.einsum("ni,nj,n->ij", h, h, wts)
+    w_fn_b, gram_b = stats_lm.centered_from_gram(stats_lm.pointer_w, g_raw, 2)
+
+    scale = float(jnp.max(jnp.abs(g_raw)))
+    np.testing.assert_allclose(
+        np.asarray(gram_a), np.asarray(gram_b), atol=1e-9 * scale
+    )
+    x = jnp.asarray([1.0, -2.0, 3.0, 0.1, -0.2, 0.3, 0.14, 0.14])
+    np.testing.assert_allclose(
+        np.asarray(w_fn_a(x)), np.asarray(w_fn_b(x)), rtol=0, atol=1e-12
+    )
