@@ -521,6 +521,71 @@ def check_lm_sphere(b=512, m=128):
     return ok
 
 
+def check_vote_kernel(b=1024, n=1000):
+    """The standalone Pallas sphere vote kernel (``ops/vote.py``) vs the
+    estimator's XLA fallback — the two dispatch paths of ONE method
+    (``SphereEstimator.vote_counts``) must agree so counts don't depend on
+    whether B % 512 == 0.  Both use the squared band; the kernel's matmul
+    is one-pass bf16, so a few border flips are tolerated vs the f64
+    oracle but the kernel-vs-XLA check is tight."""
+    import numpy as np
+
+    from lsqrrecipes_tpu.ops import vote
+
+    pts = (jax.random.normal(jax.random.PRNGKey(0), (n, 3)) * 30).astype(
+        jnp.float32
+    )
+    points_t, valid, _ = vote.pack_points(pts)
+    params = jnp.concatenate(
+        [
+            (jax.random.normal(jax.random.PRNGKey(1), (b, 3)) * 20).astype(
+                jnp.float32
+            ),
+            jax.random.uniform(jax.random.PRNGKey(2), (b, 1), jnp.float32,
+                               10, 40),
+        ],
+        axis=1,
+    )
+    counts_k = np.asarray(
+        jax.device_get(vote.sphere_vote_counts(params, points_t, valid, 2.0))
+    )
+
+    @jax.jit
+    def xla_counts(params, pts):
+        c = params[:, :3]
+        r = params[:, 3]
+        cp = jnp.einsum("bd,nd->bn", c, pts,
+                        preferred_element_type=jnp.float32)
+        d2 = (jnp.sum(pts * pts, -1)[None] - 2.0 * cp
+              + jnp.sum(c * c, -1)[:, None])
+        rp = r + 2.0
+        rm = r - 2.0
+        hi2 = rp * rp
+        lo2 = jnp.where(rm >= 0, rm * rm, -jnp.inf)
+        return jnp.sum((d2 < hi2[:, None]) & (d2 > lo2[:, None]), axis=-1)
+
+    counts_x = np.asarray(jax.device_get(xla_counts(params, pts)))
+    d_xla = int(np.abs(counts_k - counts_x).max())
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        pts64 = jnp.asarray(jax.device_get(pts), jnp.float64)
+        par64 = jnp.asarray(jax.device_get(params), jnp.float64)
+        dist = jnp.linalg.norm(pts64[None] - par64[:, None, :3], axis=-1)
+        ref = np.asarray(jnp.sum(jnp.abs(dist - par64[:, 3:4]) < 2.0, -1))
+    d_f64 = int(np.abs(counts_k - ref).max())
+
+    ok = d_xla <= 1 and d_f64 <= 5
+    status = "PASS" if ok else "FAIL"
+    print(
+        f"{status} vote_kernel: kernel-vs-XLA max|d|={d_xla} (<=1), "
+        f"vs f64 oracle max|d|={d_f64} (<=5 border flips from the "
+        f"one-pass bf16 matmul; B={b}, n={n})",
+        flush=True,
+    )
+    return ok
+
+
 def check_generic_ds(groups=6, n=1024):
     """The generic engine's certified double-single vote ON THE CHIP.
 
@@ -628,7 +693,8 @@ def main():
         "--families",
         nargs="*",
         default=sorted(FAMILIES) + list(US_FAST)
-        + ["fleet_sphere", "lm_sphere", "lm_stats_pointer", "generic_ds"],
+        + ["fleet_sphere", "lm_sphere", "lm_stats_pointer", "generic_ds",
+           "vote_kernel"],
     )
     ap.add_argument("--groups", type=int, default=6)
     args = ap.parse_args()
@@ -645,6 +711,8 @@ def main():
                 checker = lambda n: check_lm_stats()  # noqa: E731
             elif name == "generic_ds":
                 checker = lambda n: check_generic_ds()  # noqa: E731
+            elif name == "vote_kernel":
+                checker = lambda n: check_vote_kernel()  # noqa: E731
             elif name in US_FAST:
                 checker = lambda n: check_us_fast(n)  # noqa: E731
             else:
